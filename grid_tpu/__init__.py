@@ -1,0 +1,29 @@
+"""grid_tpu — a TPU-native framework for haplotype-resolved VNTR copy-number
+inference from binned WGS coverage.
+
+A from-scratch re-design (not a port) of the capabilities of GRiD
+(reference: /root/reference). The cohort depth matrix (samples x genome bins)
+lives as a sharded ``jnp`` array over a ``jax.sharding.Mesh``; normalization,
+nearest-neighbor search, diploid CN estimation and iterative haplotype phasing
+are pure, jittable functions composed into one fused device step, with
+XLA collectives (psum / all_gather / ppermute) carrying cross-host work.
+
+Layering (bottom to top):
+
+- :mod:`grid_tpu.ops`       — core numerical kernels (masked stats, kNN,
+                              dipCN, phasing) as jittable functions.
+- :mod:`grid_tpu.models`    — the flagship fused cohort pipeline model.
+- :mod:`grid_tpu.parallel`  — mesh construction, sharded cohort statistics,
+                              ring/all-gather distributed kNN.
+- :mod:`grid_tpu.io`        — reference-compatible on-disk formats.
+- :mod:`grid_tpu.ingest`    — CPU-side CRAM/BAM/mosdepth ingestion feeding
+                              host buffers (native C++ fast paths).
+- :mod:`grid_tpu.steps`     — the seven pipeline steps (config-driven).
+- :mod:`grid_tpu.pipeline`  — orchestrator; :mod:`grid_tpu.cli` — CLI.
+"""
+
+__version__ = "0.1.0"
+
+from grid_tpu import ops  # noqa: F401
+
+__all__ = ["ops", "__version__"]

@@ -1,0 +1,149 @@
+"""Round-trip tests pinning the on-disk formats (SURVEY §2.3)."""
+
+import gzip
+
+import numpy as np
+
+from grid_tpu.io import (
+    read_samples,
+    setup_output_file,
+    read_counts_tsv,
+    write_counts_row,
+    write_normalized_output,
+    read_normalized_data,
+    write_neighbors,
+    read_neighbors,
+    write_dipcn,
+    read_dipcn,
+    write_haploid_output,
+    load_repeat_mask,
+    read_regions_bed_gz,
+    norm_chrom,
+)
+from grid_tpu.io.formats import neighbors_filename, write_samples
+
+
+def test_samples_roundtrip(tmp_path):
+    p = tmp_path / "samples.txt"
+    write_samples(p, ["HG1", "HG2", "HG3"])
+    p.write_text(p.read_text() + "\n  \n")  # trailing blanks skipped
+    assert read_samples(p) == ["HG1", "HG2", "HG3"]
+
+
+def test_counts_tsv_roundtrip(tmp_path):
+    p = setup_output_file(tmp_path / "counts.tsv", "chr6", 160605062, 160647661)
+    assert p.read_text() == "Sample\tchr6:160605062-160647661\n"
+    write_counts_row(p, "HG1", 1234)
+    write_counts_row(p, "HG2", "Error")  # failing sample writes "Error"
+    write_counts_row(p, "HG3", 777)
+    counts = read_counts_tsv(p)
+    assert counts == {"HG1": 1234.0, "HG3": 777.0}  # Error row dropped
+
+
+def test_normalized_matrix_roundtrip(tmp_path, rng):
+    n, r = 4, 6
+    z = rng.normal(size=(n, r))
+    mask = np.ones((n, r), dtype=bool)
+    mask[1, 2] = False
+    col_means = rng.uniform(0.9, 1.1, size=r)
+    col_vars = rng.uniform(0.005, 0.02, size=r)
+    scales = rng.uniform(25, 40, size=n)
+    ids = [f"S{i}" for i in range(n)]
+    sel = [0, 1, 3, 4, 5]
+
+    p = tmp_path / "norm.tsv.gz"
+    write_normalized_output(p, ids, scales, z, mask, col_means, col_vars, sel)
+
+    rids, ratios, mat, rscales = read_normalized_data(p)
+    assert rids == ids
+    assert mat.shape == (n, len(sel))
+    exp_ratio = 100.0 * col_vars[sel] / col_means[sel]
+    np.testing.assert_allclose(ratios, np.round(exp_ratio, 3), atol=5e-4)
+    for i in range(n):
+        np.testing.assert_allclose(rscales[ids[i]], round(scales[i], 2), atol=5e-3)
+        for jj, j in enumerate(sel):
+            if mask[i, j]:
+                np.testing.assert_allclose(mat[i, jj], float(f"{z[i, j]:.2f}"))
+            else:
+                assert np.isnan(mat[i, jj])
+
+
+def test_normalized_matrix_header_counts(tmp_path):
+    p = tmp_path / "n.tsv.gz"
+    write_normalized_output(
+        p, ["A"], [30.0], np.zeros((1, 3)), np.ones((1, 3), bool),
+        np.array([1.0, np.nan, 2.0]), np.array([0.1, np.nan, 0.2]), [0, 2],
+    )
+    with gzip.open(p, "rt") as f:
+        line0 = f.readline().strip().split("\t")
+    assert line0[0] == "1" and line0[1] == "2"
+
+
+def test_neighbors_roundtrip(tmp_path):
+    p = neighbors_filename(tmp_path, "nbrs", 2.0)
+    assert p.name == "nbrs.zMax2.0.tsv.gz"
+    ids = ["A", "B", "C"]
+    scales = {"A": 1.11, "B": 0.95, "C": 1.0}
+    nbr_ids = [["B", "C"], ["A"], ["A", "B"]]
+    nbr_scales = [[0.95, 1.0], [1.11], [1.11, 0.95]]
+    nbr_dists = [[0.05, 0.10], [0.05], [0.10, 0.2]]
+    write_neighbors(p, ids, scales, nbr_ids, nbr_scales, nbr_dists)
+    neighbors, rscales = read_neighbors(p)
+    assert rscales == {"A": 1.11, "B": 0.95, "C": 1.0}
+    assert neighbors["A"] == [("B", 0.95, 0.05), ("C", 1.0, 0.10)]
+    assert neighbors["B"] == [("A", 1.11, 0.05)]
+
+
+def test_dipcn_roundtrip(tmp_path):
+    p = tmp_path / "dip.tsv"
+    write_dipcn(p, ["X", "Y"], [1.9666666666666668, 2.0])
+    text = p.read_text().splitlines()
+    assert text[0] == "Sample\tNorm_Reads"
+    assert text[1] == "X\t1.9666666666666668"
+    ids, irrs, id2ind = read_dipcn(p)
+    assert ids == ["X", "Y"]
+    np.testing.assert_allclose(irrs, [1.9666666666666668, 2.0])
+    assert id2ind == {"X": 0, "Y": 1}
+
+
+def test_haploid_output_format(tmp_path):
+    p = tmp_path / "hap.tsv"
+    write_haploid_output(p, ["A"], [2.0], [1.0], [1.0], [0.9], [1.1])
+    lines = p.read_text().splitlines()
+    assert lines[0] == "ID\tIRRs\thap1phased\thap2phased\thap1imp\thap2imp"
+    assert lines[1] == "A\t2.00\t1.00\t1.00\t0.90\t1.10"
+
+
+def test_repeat_mask_kb_bins(tmp_path):
+    p = tmp_path / "mask.bed"
+    p.write_text("# comment\nchr6\t1500\t3200\n7\t0\t999\nbad line\n")
+    excl = load_repeat_mask(p)
+    assert excl["chr6"] == {1, 2, 3}
+    assert excl["chr7"] == {0}  # chrom normalised from '7'
+
+
+def test_read_regions_bed_gz_filters(tmp_path):
+    p = tmp_path / "s.regions.bed.gz"
+    rows = [
+        ("chr6", 1000, 2000, 30.0),   # kept
+        ("chr6", 2000, 3000, 0.0),    # depth <= 0
+        ("chr7", 1000, 2000, 30.0),   # wrong chrom
+        ("chr6", 9000, 10000, 25.0),  # outside window
+        ("chr6", 4000, 5000, 12.5),   # masked
+    ]
+    with gzip.open(p, "wt") as f:
+        for c, s, e, d in rows:
+            f.write(f"{c}\t{s}\t{e}\t{d}\n")
+    excl = {"chr6": {4}}
+    starts, ends, depths = read_regions_bed_gz(p, "chr6", 500, 6000, excl)
+    assert list(starts) == [1000]
+    np.testing.assert_allclose(depths, [30.0])
+
+    # window-overlap semantics: reg_end >= start and reg_start <= end
+    starts2, _, _ = read_regions_bed_gz(p, "chr6", 2000, 9000, {})
+    assert list(starts2) == [1000, 9000, 4000]  # file order preserved
+
+
+def test_norm_chrom():
+    assert norm_chrom("6") == "chr6"
+    assert norm_chrom("chrX") == "chrX"

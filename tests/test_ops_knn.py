@@ -1,0 +1,90 @@
+"""kNN op tests: self-exclusion, squared distances, region filter parity."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from grid_tpu.ops import filter_regions_by_variance, region_filter_mask, prepare_z, knn_squared
+from grid_tpu.ops.knn import knn_squared_host
+from tests.reference_impl import knn_np
+
+
+def test_knn_matches_bruteforce(rng):
+    z = rng.normal(size=(60, 17))
+    ref_d2, ref_idx = knn_np(z, 10)
+    d2, idx = knn_squared(jnp.asarray(z), 10, row_block=16)
+    np.testing.assert_allclose(np.asarray(d2), ref_d2, rtol=1e-9, atol=1e-9)
+    # neighbor sets must match; order can differ only on exact ties
+    for i in range(60):
+        assert set(np.asarray(idx)[i].tolist()) == set(ref_idx[i].tolist())
+
+
+def test_knn_squared_distance_343():
+    # dist((0,0) -> (3,4))^2 = 25 (same check as reference test_neighbors).
+    z = jnp.asarray([[0.0, 0.0], [3.0, 4.0], [100.0, 100.0]])
+    d2, idx = knn_squared(z, 2, row_block=4)
+    assert int(np.asarray(idx)[0, 0]) == 1
+    np.testing.assert_allclose(float(np.asarray(d2)[0, 0]), 25.0, rtol=1e-12)
+
+
+def test_knn_excludes_self(rng):
+    z = rng.normal(size=(12, 5))
+    _, idx = knn_squared(jnp.asarray(z), 11, row_block=4)
+    idx = np.asarray(idx)
+    for i in range(12):
+        assert i not in idx[i]
+
+
+def test_knn_row_valid_excludes_padding(rng):
+    z = rng.normal(size=(10, 4))
+    z_pad = np.concatenate([z, np.zeros((6, 4))])
+    valid = np.array([True] * 10 + [False] * 6)
+    d2, idx = knn_squared(jnp.asarray(z_pad), 5, row_valid=jnp.asarray(valid), row_block=8)
+    idx = np.asarray(idx)
+    assert (idx[:10] < 10).all()
+    ref_d2, ref_idx = knn_np(z, 5)
+    np.testing.assert_allclose(np.asarray(d2)[:10], ref_d2, rtol=1e-9, atol=1e-9)
+
+
+def test_prepare_z_clip_and_fill():
+    z = jnp.asarray([[3.5, -4.0, 1.0], [0.5, 2.5, -1.5]])
+    mask = jnp.asarray([[True, True, False], [True, True, True]])
+    out = np.asarray(prepare_z(z, mask, zmax=2.0))
+    np.testing.assert_allclose(out, [[2.0, -2.0, 0.0], [0.5, 2.0, -1.5]])
+
+    region_mask = jnp.asarray([True, False, True])
+    out2 = np.asarray(prepare_z(z, mask, zmax=2.0, region_mask=region_mask))
+    np.testing.assert_allclose(out2, [[2.0, 0.0, 0.0], [0.5, 0.0, -1.5]])
+
+
+def test_filter_regions_frac_r_1(rng):
+    ratios = np.array([5.0, 80.0, np.nan, 2000.0, 99.0, 1.0])
+    idx, r_use = filter_regions_by_variance(ratios, frac_r=1.0, sigma2_max=1000.0)
+    # smallest finite (1.0) is the lower bound; 2000 exceeds sigma2_max; NaN out
+    assert list(idx) == [0, 1, 4, 5]
+    assert r_use == 4
+
+    mask = np.asarray(region_filter_mask(ratios, frac_r=1.0, sigma2_max=1000.0))
+    assert list(np.where(mask)[0]) == [0, 1, 4, 5]
+
+
+def test_filter_regions_all_nan():
+    ratios = np.array([np.nan, np.nan, np.nan])
+    idx, r_use = filter_regions_by_variance(ratios)
+    assert list(idx) == [0, 1, 2] and r_use == 3
+    assert np.asarray(region_filter_mask(ratios)).all()
+
+
+def test_filter_regions_frac_r_partial():
+    ratios = np.array([10.0, 20.0, 30.0, 40.0])
+    # frac_r=0.5 -> lower_idx = int(4*0.5) = 2 -> sigma2_min = 30
+    idx, r_use = filter_regions_by_variance(ratios, frac_r=0.5)
+    assert list(idx) == [2, 3]
+    mask = np.asarray(region_filter_mask(ratios, frac_r=0.5))
+    assert list(np.where(mask)[0]) == [2, 3]
+
+
+def test_knn_host_matches_device(rng):
+    z = rng.normal(size=(30, 8))
+    hd2, hidx = knn_squared_host(z, 7)
+    dd2, didx = knn_squared(jnp.asarray(z), 7, row_block=16)
+    np.testing.assert_allclose(np.asarray(dd2), hd2, rtol=1e-9, atol=1e-9)
