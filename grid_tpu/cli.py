@@ -1,0 +1,156 @@
+"""grid_tpu command-line interface.
+
+Covers the reference's live CLI (``grid wgs CONFIG``, grid/cli.py:73-92)
+and RESURRECTS its commented-out per-step surface (grid/cli.py:96-610 —
+crai, count-reads, mosdepth, normalize, find-neighbors, compute-dipcn,
+estimate-kiv) as live config-driven subcommands, plus grid_tpu additions:
+``synth`` (synthetic cohort fabrication) and ``devices`` (accelerator info).
+
+Run as ``python -m grid_tpu.cli ...`` or via the ``grid-tpu`` console script.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import click
+
+from grid_tpu.utils.logging import log, make_console
+
+BANNER = r"""
+   ____ ____  _ ____        _____ ____  _   _
+  / ___|  _ \(_)  _ \      |_   _|  _ \| | | |
+ | |  _| |_) | | | | |_____  | | | |_) | | | |
+ | |_| |  _ <| | |_| |_____| | | |  __/| |_| |
+  \____|_| \_\_|____/        |_| |_|    \___/
+
+  TPU-native VNTR copy-number inference
+"""
+
+
+def _console():
+    return make_console()
+
+
+def _load_and_prepare(config_path, validate=True):
+    from grid_tpu.config import apply_defaults, error_check_config, load_config
+
+    cfg = load_config(config_path)
+    if validate:
+        error_check_config(cfg, _console())
+    return apply_defaults(cfg)
+
+
+@click.group(context_settings=dict(help_option_names=["-h", "--help"]))
+@click.version_option(package_name=None, version=__import__("grid_tpu").__version__)
+def cli():
+    """grid_tpu — TPU-native haplotype-resolved VNTR copy-number estimation."""
+
+
+@cli.command()
+@click.argument("config", type=click.Path(exists=True))
+@click.option("--no-validate", is_flag=True, help="Skip config validation (reference parity).")
+def wgs(config, no_validate):
+    """Run the full WGS pipeline from a YAML CONFIG."""
+    console = _console()
+    if console:
+        console.print(BANNER, style="info")
+    from grid_tpu.pipeline import run_wgs_pipeline
+
+    run_wgs_pipeline(console, config, validate=not no_validate)
+
+
+def _step_command(name, help_text, import_path):
+    """Register a per-step subcommand running one pipeline step from CONFIG."""
+
+    @cli.command(name=name, help=help_text)
+    @click.argument("config", type=click.Path(exists=True))
+    def _cmd(config):
+        console = _console()
+        cfg = _load_and_prepare(config, validate=False)
+        module_name, fn_name = import_path
+        import importlib
+
+        fn = getattr(importlib.import_module(module_name), fn_name)
+        fn(cfg, console)
+
+    _cmd.__name__ = name.replace("-", "_")
+    return _cmd
+
+
+_step_command("check-index", "Check CRAI/BAI indexes for all samples.", ("grid_tpu.steps.index", "check_index"))
+_step_command("crai", "Create missing CRAI/BAI indexes.", ("grid_tpu.steps.index", "create_index"))
+_step_command("count-reads", "Count VNTR-window reads per sample.", ("grid_tpu.steps.count_reads", "count_reads"))
+_step_command("mosdepth", "Compute genome-binned coverage per sample.", ("grid_tpu.steps.coverage", "compute_mosdepth"))
+_step_command("normalize", "Normalize the cohort coverage matrix.", ("grid_tpu.steps.normalize", "normalize_mosdepth"))
+_step_command("find-neighbors", "Find depth-matched nearest neighbors.", ("grid_tpu.steps.neighbors", "find_neighbors"))
+_step_command("compute-dipcn", "Compute neighbor-normalized diploid CN.", ("grid_tpu.steps.dipcn", "compute_diploid_genotypes"))
+_step_command("hi-inference", "Infer haplotype copy numbers (IBS/IBD).", ("grid_tpu.steps.haploid", "hi_inference"))
+
+
+@cli.command()
+@click.option("--exon1a", required=True, type=click.Path(exists=True), help="exon1A dipCN TSV")
+@click.option("--exon1b", required=True, type=click.Path(exists=True), help="exon1B dipCN TSV")
+@click.option("-o", "--output", required=True, type=click.Path(), help="output TSV")
+def estimate_kiv(exon1a, exon1b, output):
+    """KIV2 CN estimates from exon dipCNs: 34.9*exon1A + 5.2*exon1B - 1."""
+    from pathlib import Path
+
+    from grid_tpu.io.formats import read_dipcn
+    from grid_tpu.models.kiv import estimate_kiv2
+
+    ids_a, vals_a, _ = read_dipcn(exon1a)
+    ids_b, vals_b, _ = read_dipcn(exon1b)
+    a = dict(zip(ids_a, vals_a))
+    b = dict(zip(ids_b, vals_b))
+    overlap = sorted(set(a) & set(b))
+    if not overlap:
+        raise click.ClickException("No overlapping samples between exon files")
+    import numpy as np
+
+    dip, hap = estimate_kiv2(
+        np.array([a[s] for s in overlap]), np.array([b[s] for s in overlap])
+    )
+    out = Path(output)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    with open(out, "w") as f:
+        f.write("ID\texon1A\texon1B\tdip_estimate\testimate\n")
+        for i, s in enumerate(overlap):
+            f.write(f"{s}\t{a[s]:.6f}\t{b[s]:.6f}\t{dip[i]:.4f}\t{hap[i]:.4f}\n")
+    log(_console(), f"KIV2 estimates for {len(overlap)} samples → {out}", style="success")
+
+
+@cli.command()
+@click.option("--out", required=True, type=click.Path(), help="output directory")
+@click.option("-n", "--n-samples", default=12, type=int, show_default=True)
+@click.option("--seed", default=0, type=int, show_default=True)
+@click.option("--missing-frac", default=0.0, type=float, show_default=True)
+def synth(out, n_samples, seed, missing_frac):
+    """Fabricate a synthetic cohort (bed.gz + counts + IBS/IBD + config)."""
+    from grid_tpu.synth import make_synthetic_cohort
+
+    res = make_synthetic_cohort(out, n_samples=n_samples, seed=seed, missing_frac=missing_frac)
+    log(_console(), f"Synthetic cohort of {n_samples} samples → {out}", style="success")
+    log(_console(), f"Config: {res['config_file']}", style="info")
+
+
+@cli.command()
+def devices():
+    """Show JAX devices/mesh info for this host."""
+    import jax
+
+    console = _console()
+    log(console, f"backend: {jax.default_backend()}")
+    for d in jax.devices():
+        log(console, f"  {d.id}: {d.device_kind} ({d.platform})")
+
+
+def main():
+    try:
+        cli()
+    except KeyboardInterrupt:
+        sys.exit(130)
+
+
+if __name__ == "__main__":
+    main()

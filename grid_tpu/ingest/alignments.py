@@ -1,0 +1,139 @@
+"""CRAM/BAM alignment ingestion (CPU side of the framework).
+
+Replaces the reference's pysam dependency (grid/utils/count_reads.py:95,
+grid/utils/utils.py:87) with a backend chain:
+
+1. **native** — grid_tpu's own C++ BAM reader (grid_tpu/native): BGZF
+   decompression via zlib, BAI index query, and the region read-counting
+   filter, all without htslib. Fastest path; BAM only.
+2. **pysam** — used when installed (adds CRAM support via htslib).
+
+The counting filter is the reference's exactly
+(grid/utils/count_reads.py:96-107, matching the upstream C++ bin logic):
+flag in ``proper_flags``, mapq >= min_mapq, mate on the same reference,
+not duplicate (0x400), not secondary (0x100), and
+``start <= read.reference_start < end``.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from pathlib import Path
+
+try:
+    import pysam  # type: ignore
+
+    _HAVE_PYSAM = True
+except Exception:
+    pysam = None
+    _HAVE_PYSAM = False
+
+
+def _native():
+    try:
+        from grid_tpu.native import bam
+
+        return bam
+    except Exception:
+        return None
+
+
+def available_backends() -> list[str]:
+    out = []
+    if _native() is not None:
+        out.append("native")
+    if _HAVE_PYSAM:
+        out.append("pysam")
+    return out
+
+
+def find_file(directory_loc, sample, expected_type=None):
+    """Glob ``*{sample}*.{type}`` in a directory; first match or None
+    (ref: grid/utils/utils.py:46-53)."""
+    if expected_type:
+        pattern = os.path.join(directory_loc, f"*{sample}*.{expected_type}")
+        matches = sorted(glob.glob(pattern))
+        if matches:
+            return matches[0]
+    return None
+
+
+def has_index(file_path, file_type) -> bool:
+    """Check for .crai/.bai next to the file (ref: grid/utils/utils.py:56-73)."""
+    allowed = {"CRAM": "crai", "BAM": "bai"}
+    ft = str(file_type).upper()
+    if ft not in allowed:
+        return False
+    if ft == "CRAM":
+        return os.path.exists(file_path + ".crai") or os.path.exists(
+            file_path.replace(".cram", ".crai")
+        )
+    return os.path.exists(file_path + ".bai") or os.path.exists(
+        file_path.replace(".bam", ".bai")
+    )
+
+
+def create_index_for_file(file_path, file_type, reference_genome) -> None:
+    """Create a CRAI/BAI index (ref: grid/utils/utils.py:85-89).
+
+    Uses pysam when available; the native backend can index BAM files.
+    """
+    ft = str(file_type).upper()
+    if _HAVE_PYSAM:
+        if ft == "CRAM":
+            pysam.index(file_path, file_path + ".crai", reference_filename=reference_genome)
+        elif ft == "BAM":
+            pysam.index(file_path, file_path + ".bai", reference_filename=reference_genome)
+        return
+    native = _native()
+    if native is not None and ft == "BAM":
+        native.build_bai(file_path, file_path + ".bai")
+        return
+    raise RuntimeError(
+        f"No backend available to index {ft} files "
+        f"(native supports BAM; install pysam for CRAM)."
+    )
+
+
+def count_reads_in_region(
+    aln_file,
+    ref_fasta,
+    chrom: str,
+    start: int,
+    end: int,
+    proper_flags,
+    min_mapq: int = 1,
+) -> int:
+    """Count reads passing the reference filter in [start, end).
+
+    Dispatches native-first for BAM; pysam otherwise.
+    """
+    path = str(aln_file)
+    flags = set(int(f) for f in proper_flags)
+
+    native = _native()
+    if native is not None and path.endswith(".bam"):
+        return native.count_reads_region(path, chrom, start, end, flags, min_mapq)
+
+    if _HAVE_PYSAM:
+        count = 0
+        mode = "rc" if path.endswith(".cram") else "rb"
+        with pysam.AlignmentFile(path, mode, reference_filename=ref_fasta) as bam_f:
+            for read in bam_f.fetch(chrom, start, end):
+                if (
+                    read.flag in flags
+                    and read.mapq >= min_mapq
+                    and read.reference_id == read.next_reference_id
+                    and not read.is_duplicate
+                    and not read.is_secondary
+                    and read.reference_start >= start
+                    and read.reference_start < end
+                ):
+                    count += 1
+        return count
+
+    raise RuntimeError(
+        "No alignment backend available: native reader supports .bam; "
+        "CRAM requires pysam. Backends found: " + (", ".join(available_backends()) or "none")
+    )

@@ -146,15 +146,14 @@ def cohort_step(
     )
 
     # ---- step 6: dipCN -------------------------------------------------
+    reads = jnp.asarray(reads)
     reads_valid = jnp.asarray(reads_valid, dtype=bool) & sample_ok
-    nbr_scales = scales[nbr_idx]
     nbr_usable = reads_valid[nbr_idx]
+    nbr_contrib = reads[nbr_idx] / scales[nbr_idx]
     dipcn, dipcn_valid = compute_dipcn(
-        reads,
-        scales,
+        reads / scales,
         reads_valid,
-        nbr_idx,
-        nbr_scales,
+        nbr_contrib,
         nbr_usable,
         n_nbr=params.n_nbr,
     )

@@ -1,0 +1,167 @@
+"""Step 3: genome-binned coverage per sample (mosdepth-compatible).
+
+File-compatible with the reference step (grid/utils/mosdepth.py:16): per
+sample, produce ``{sample}_{region}.regions.bed.gz`` genome-wide binned
+depth in ``work_dir`` plus an overlap-weighted window coverage written as
+``int(round(100 * cov))`` to the coverage TSV (quirk Q4: the 100x integer
+here vs the 1x ``scale`` in later files).
+
+Backend chain:
+1. **mosdepth** binary when on PATH (reference parity, Nim binary);
+2. **native** — grid_tpu's C++ BAM depth binner (fast-mode semantics:
+   read-span coverage, no CIGAR walk), BAM only.
+"""
+
+from __future__ import annotations
+
+import gzip
+import shutil
+import subprocess
+from concurrent.futures import ThreadPoolExecutor, as_completed
+from pathlib import Path
+from threading import Lock
+
+from grid_tpu.ingest.alignments import find_file
+from grid_tpu.io.formats import read_samples, setup_output_file
+from grid_tpu.utils.logging import log, progress_bar
+
+
+def mosdepth_available() -> bool:
+    return shutil.which("mosdepth") is not None
+
+
+def _native_binner():
+    try:
+        from grid_tpu.native import bam
+
+        return bam
+    except Exception:
+        return None
+
+
+def build_mosdepth_command(cram_path, ref_fasta, output_prefix, by, fast_mode, threads=1):
+    """mosdepth CLI invocation (ref: grid/utils/mosdepth.py:193-225)."""
+    cmd = [
+        "mosdepth",
+        "-n",
+        "--by",
+        str(by),
+        "-f",
+        str(ref_fasta),
+        str(output_prefix),
+        str(cram_path),
+        "-t",
+        str(threads),
+    ]
+    if fast_mode:
+        cmd.insert(1, "--fast-mode")
+    return cmd
+
+
+def compute_region_coverage(regions_file, chrom, start, end) -> int:
+    """Overlap-weighted mean depth over [start, end], scaled by 100 and
+    rounded (ref: grid/utils/mosdepth.py:264-297; formula
+    docs/source/algorithms/coverage.rst:25-45)."""
+    region_cov = 0.0
+    covered_bp = 0
+    with gzip.open(regions_file, "rt") as f:
+        for line in f:
+            fields = line.strip().split("\t")
+            if len(fields) < 4:
+                continue
+            r_chr, r_start, r_end, mean_cov = fields[0], int(fields[1]), int(fields[2]), float(fields[3])
+            if r_chr != chrom:
+                continue
+            overlap = min(end, r_end) - max(start, r_start)
+            if overlap > 0:
+                region_cov += mean_cov * overlap
+                covered_bp += overlap
+    return int(round(100 * (region_cov / covered_bp))) if covered_bp > 0 else 0
+
+
+def run_coverage_single(
+    aln_path, ref_fasta, work_dir, chrom, start, end, region_name, by, fast_mode, threads=1
+):
+    """Produce the per-sample regions.bed.gz and window coverage."""
+    aln = Path(aln_path)
+    sample_name = aln.stem
+    out_prefix = Path(work_dir) / f"{sample_name}_{region_name}"
+    regions_file = Path(f"{out_prefix}.regions.bed.gz")
+
+    if mosdepth_available():
+        cmd = build_mosdepth_command(str(aln), ref_fasta, out_prefix, by, fast_mode, threads)
+        subprocess.run(cmd, check=True, capture_output=True, text=True)
+        if not regions_file.exists():
+            matches = sorted(Path(work_dir).glob(f"{sample_name}*regions.bed.gz"))
+            if not matches:
+                raise FileNotFoundError(f"mosdepth output missing for {sample_name}")
+            regions_file = matches[0]
+    else:
+        native = _native_binner()
+        if native is None or not str(aln).endswith(".bam"):
+            raise RuntimeError(
+                "No coverage backend: install mosdepth, or provide BAM input "
+                "for the native depth binner."
+            )
+        native.binned_depth(str(aln), str(regions_file), int(by))
+
+    return compute_region_coverage(regions_file, chrom, start, end)
+
+
+def compute_mosdepth(config, console=None):
+    directory_loc = config["directory_loc"]
+    samples = read_samples(config["samples_file"])
+    chrom = config.get("chrom")
+    start = config.get("start_bp")
+    end = config.get("end_bp")
+
+    mcfg = config.get("mosdepth", {})
+    output_file_prefix = mcfg.get("output_file_prefix")
+    output_file_type = config.get("output_file_type", "tsv")
+    output_dir = config.get("output_dir", ".")
+    output_file = Path(f"{output_dir}/{output_file_prefix}.{output_file_type}")
+
+    threads = config.get("threads", 1)
+    ref = config.get("reference_genome")
+    region_name = mcfg.get("region_name", "region")
+    by = mcfg.get("bin_size", 1000)
+    fast_mode = str(mcfg.get("mode", "fast")).lower() == "fast"
+    work_dir = Path(mcfg.get("work_dir")).expanduser()
+    work_dir.mkdir(parents=True, exist_ok=True)
+
+    output_path = setup_output_file(output_file, chrom, start, end)
+
+    files = {
+        sample: result
+        for sample in samples
+        if (result := find_file(directory_loc, sample, config.get("file_type"))) is not None
+    }
+
+    write_lock = Lock()
+    failed = []
+
+    def process(path):
+        try:
+            return run_coverage_single(
+                path, ref, work_dir, chrom, start, end, region_name, by, fast_mode, threads
+            )
+        except Exception:
+            return "Error"
+
+    with progress_bar(console, total=len(files), description="Running coverage") as (progress, task):
+        with ThreadPoolExecutor(max_workers=max(1, threads)) as executor:
+            futures = {executor.submit(process, path): sample for sample, path in files.items()}
+            for future in as_completed(futures):
+                sample = futures[future]
+                coverage = future.result()
+                if coverage != "Error":
+                    with write_lock:
+                        with open(output_path, "a", newline="") as f:
+                            f.write(f"{sample}\t{coverage}\n")
+                else:
+                    log(console, f"✗ {sample} failed", style="danger")
+                    failed.append(sample)
+                progress.update(task, advance=1)
+
+    log(console, f"Coverage results written to {output_path}", style="success")
+    return output_path

@@ -1,0 +1,65 @@
+"""Step 4: normalize binned coverage across the cohort.
+
+File-compatible with the reference step (grid/utils/normalize_mosdepth.py:23)
+but restructured TPU-first: one host scan per sample (not two), then the
+whole normalize transform as a single jitted device computation
+(grid_tpu.ops.normalize), then the reference output format.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+
+from grid_tpu.io.bed import load_repeat_mask
+from grid_tpu.io.formats import read_samples, write_normalized_output
+from grid_tpu.io.staging import stage_cohort
+from grid_tpu.ops.normalize import normalize_cohort, select_high_variance_indices
+from grid_tpu.utils.logging import log
+from grid_tpu.utils.timing import step_timer
+
+
+def normalize_mosdepth(config, console=None):
+    """Normalize mosdepth coverage for all samples (ref signature parity)."""
+    samples = read_samples(config["samples_file"])
+    chrom = config.get("chrom")
+    start = config.get("start_bp")
+    end = config.get("end_bp")
+    threads = config.get("threads", 1)
+    ncfg = config.get("mosdepth", {}).get("normalize", {})
+    output_file_prefix = ncfg.get("output_file_prefix")
+    output_file_type = config.get("output_file_type", "tsv")
+    output_dir = config.get("output_dir", ".")
+    output_path = Path(output_dir) / f"{output_file_prefix}.{output_file_type}.gz"
+    mosdepth_dir = config.get("mosdepth", {}).get("work_dir")
+    min_depth = ncfg.get("min_depth", 20)
+    max_depth = ncfg.get("max_depth", 100)
+    top_frac = ncfg.get("top_frac", 0.1)
+    repeat_mask = ncfg.get("repeat_mask_file")
+
+    excluded = load_repeat_mask(repeat_mask) if repeat_mask else {}
+
+    with step_timer("normalize.stage", console=None):
+        stage = stage_cohort(
+            mosdepth_dir, samples, chrom, start, end, excluded,
+            min_depth, max_depth, threads, console,
+        )
+
+    with step_timer("normalize.device", console=None):
+        res = normalize_cohort(jnp.asarray(stage.values), jnp.asarray(stage.mask))
+        selected = select_high_variance_indices(np.asarray(res.var_ratio), top_frac)
+
+    write_normalized_output(
+        output_path,
+        stage.sample_ids,
+        np.asarray(res.row_means_raw),
+        np.asarray(res.z),
+        np.asarray(res.mask),
+        np.asarray(res.col_means),
+        np.asarray(res.col_vars),
+        selected,
+    )
+    log(console, f"Mosdepth normalization complete. Results written to {output_path}", style="success")
+    return output_path

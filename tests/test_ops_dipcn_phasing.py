@@ -33,12 +33,12 @@ def test_dipcn_matches_oracle(rng):
     nbr_scales = scales_arr[nbr_idx]
     nbr_usable = np.array([[ids[j] in reads for j in nbr_idx[i]] for i in range(n)])
 
+    rnorm = reads_arr / scales_arr
+    nbr_contrib = np.where(nbr_usable, reads_arr[nbr_idx] / nbr_scales, 0.0)
     dip, valid = compute_dipcn(
-        jnp.asarray(reads_arr),
-        jnp.asarray(scales_arr),
+        jnp.asarray(rnorm),
         jnp.asarray(sample_valid),
-        jnp.asarray(nbr_idx),
-        jnp.asarray(nbr_scales),
+        jnp.asarray(nbr_contrib),
         jnp.asarray(nbr_usable),
         n_nbr=3,
     )
@@ -61,7 +61,9 @@ def test_dipcn_skips_unusable_without_consuming_slot():
         [[False, True, True], [True, True, True], [True, False, True], [True, False, True]]
     )
     sample_valid = jnp.asarray([True, False, True, True])
-    dip, valid = compute_dipcn(reads, scales, sample_valid, nbr_idx, nbr_scales, nbr_usable, n_nbr=2)
+    rnorm = reads / scales
+    nbr_contrib = jnp.where(nbr_usable, reads[nbr_idx] / nbr_scales, 0.0)
+    dip, valid = compute_dipcn(rnorm, sample_valid, nbr_contrib, nbr_usable, n_nbr=2)
     # mean of (20/2, 40/4) = 10 -> dip0 = (10/1)/10 = 1.0
     np.testing.assert_allclose(float(dip[0]), 1.0, rtol=1e-12)
     assert not bool(valid[1])
