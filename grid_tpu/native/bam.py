@@ -1,0 +1,60 @@
+"""ctypes wrappers for the native BAM machinery."""
+
+from __future__ import annotations
+
+import ctypes
+
+from grid_tpu.native import lib
+
+
+def count_reads_region(path, chrom, start, end, flags, min_mapq=1) -> int:
+    """Count reads in [start, end) with the reference filter semantics
+    (BAI-indexed when an index is present; full scan otherwise)."""
+    l = lib()
+    flag_list = sorted(int(f) for f in flags)
+    arr = (ctypes.c_int32 * max(len(flag_list), 1))(*(flag_list or [0]))
+    rc = l.grid_bam_count(
+        str(path).encode(), str(chrom).encode(), int(start), int(end),
+        arr, len(flag_list), int(min_mapq),
+    )
+    if rc < 0:
+        raise IOError(f"grid_bam_count({path}) failed with code {rc}")
+    return int(rc)
+
+
+def binned_depth(path, out_bed_gz, bin_size=1000, exclude_flags=1796, min_mapq=0) -> None:
+    """mosdepth-fast-mode binned depth -> regions.bed.gz."""
+    rc = lib().grid_bam_binned_depth(
+        str(path).encode(), str(out_bed_gz).encode(), int(bin_size),
+        int(exclude_flags), int(min_mapq),
+    )
+    if rc != 0:
+        raise IOError(f"grid_bam_binned_depth({path}) failed with code {rc}")
+
+
+def build_bai(path, out_path=None) -> str:
+    """Build a BAI index for a coordinate-sorted BAM."""
+    out_path = out_path or (str(path) + ".bai")
+    rc = lib().grid_bam_build_bai(str(path).encode(), str(out_path).encode())
+    if rc != 0:
+        raise IOError(f"grid_bam_build_bai({path}) failed with code {rc}")
+    return str(out_path)
+
+
+def references(path, max_refs=1024):
+    """[(name, length)] from the BAM header."""
+    l = lib()
+    cap = 1 << 20
+    names_buf = ctypes.create_string_buffer(cap)
+    lens = (ctypes.c_int32 * max_refs)()
+    n = l.grid_bam_refs(str(path).encode(), names_buf, cap, lens, max_refs)
+    if n < 0:
+        raise IOError(f"grid_bam_refs({path}) failed with code {n}")
+    out = []
+    off = 0
+    raw = names_buf.raw
+    for i in range(n):
+        end = raw.index(b"\0", off)
+        out.append((raw[off:end].decode(), int(lens[i])))
+        off = end + 1
+    return out

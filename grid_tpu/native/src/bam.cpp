@@ -1,0 +1,451 @@
+// Native BAM machinery: region read counting, binned depth, BAI read/write.
+//
+// grid_tpu's TPU-native equivalent of the reference's pysam/htslib usage
+// (grid/utils/count_reads.py:95, grid/utils/utils.py:87) and of the
+// mosdepth Nim binary (grid/utils/mosdepth.py:177-225) — implemented from
+// the SAM/BAM/BAI specification over the local BGZF reader, so the
+// framework ingests BAM cohorts with zero external native dependencies.
+//
+// Counting filter semantics (identical to grid/utils/count_reads.py:96-107):
+//   flag ∈ proper_flags, mapq >= min_mapq, refID == next_refID,
+//   !(flag & DUP 0x400), !(flag & SECONDARY 0x100), start <= pos < end.
+//
+// Depth binning follows mosdepth --fast-mode: per read passing the default
+// exclude mask (UNMAP|SECONDARY|QCFAIL|DUP = 1796), add its reference span
+// [pos, pos + cigar_ref_len) into per-bin overlap accumulators; per-bin
+// depth = overlapped_bp / bin_width, written as "chrom start end depth".
+
+#include <zlib.h>
+
+#include <algorithm>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <map>
+#include <set>
+#include <string>
+#include <unordered_set>
+#include <vector>
+
+#include "bgzf.h"
+
+namespace gridtpu {
+namespace {
+
+constexpr uint16_t FLAG_UNMAP = 0x4;
+constexpr uint16_t FLAG_SECONDARY = 0x100;
+constexpr uint16_t FLAG_QCFAIL = 0x200;
+constexpr uint16_t FLAG_DUP = 0x400;
+
+struct Ref {
+  std::string name;
+  int32_t len;
+};
+
+struct BamHeader {
+  std::vector<Ref> refs;
+  int32_t tid(const char* name) const {
+    for (size_t i = 0; i < refs.size(); ++i) {
+      if (refs[i].name == name) return (int32_t)i;
+    }
+    // accept "chr6" vs "6" mismatches both ways
+    std::string n(name);
+    std::string alt = n.rfind("chr", 0) == 0 ? n.substr(3) : ("chr" + n);
+    for (size_t i = 0; i < refs.size(); ++i) {
+      if (refs[i].name == alt) return (int32_t)i;
+    }
+    return -1;
+  }
+};
+
+inline int32_t rd_i32(const uint8_t* p) {
+  int32_t v;
+  memcpy(&v, p, 4);
+  return v;
+}
+inline uint32_t rd_u32(const uint8_t* p) {
+  uint32_t v;
+  memcpy(&v, p, 4);
+  return v;
+}
+inline uint16_t rd_u16(const uint8_t* p) {
+  uint16_t v;
+  memcpy(&v, p, 2);
+  return v;
+}
+
+bool read_header(BgzfReader& r, BamHeader* hdr) {
+  uint8_t magic[4];
+  if (!r.read(magic, 4) || memcmp(magic, "BAM\1", 4) != 0) return false;
+  uint8_t b4[4];
+  if (!r.read(b4, 4)) return false;
+  int32_t l_text = rd_i32(b4);
+  if (!r.skip((size_t)l_text)) return false;
+  if (!r.read(b4, 4)) return false;
+  int32_t n_ref = rd_i32(b4);
+  hdr->refs.clear();
+  hdr->refs.reserve(n_ref);
+  for (int32_t i = 0; i < n_ref; ++i) {
+    if (!r.read(b4, 4)) return false;
+    int32_t l_name = rd_i32(b4);
+    std::string name(l_name, 0);
+    if (!r.read(name.data(), l_name)) return false;
+    name.resize(l_name - 1);  // drop trailing NUL
+    if (!r.read(b4, 4)) return false;
+    Ref ref;
+    ref.name = name;
+    ref.len = rd_i32(b4);
+    hdr->refs.push_back(std::move(ref));
+  }
+  return true;
+}
+
+// A parsed (partially) alignment record.
+struct Rec {
+  int32_t refid;
+  int32_t pos;
+  uint8_t mapq;
+  uint16_t flag;
+  uint16_t n_cigar;
+  int32_t next_refid;
+  int32_t ref_span;  // reference bases consumed by the CIGAR (0 if unmapped)
+};
+
+// Read one record; data buffer is reused. Returns false at EOF.
+bool read_record(BgzfReader& r, std::vector<uint8_t>& data, Rec* rec) {
+  uint8_t b4[4];
+  if (r.eof()) return false;
+  if (!r.read(b4, 4)) return false;
+  int32_t block_size = rd_i32(b4);
+  if (block_size < 32) return false;
+  data.resize(block_size);
+  if (!r.read(data.data(), block_size)) return false;
+  const uint8_t* p = data.data();
+  rec->refid = rd_i32(p + 0);
+  rec->pos = rd_i32(p + 4);
+  uint8_t l_read_name = p[8];
+  rec->mapq = p[9];
+  rec->n_cigar = rd_u16(p + 12);
+  rec->flag = rd_u16(p + 14);
+  rec->next_refid = rd_i32(p + 20);
+  // CIGAR sits after the 32-byte fixed block + read name
+  rec->ref_span = 0;
+  size_t cig_off = 32 + l_read_name;
+  if (cig_off + 4ull * rec->n_cigar <= (size_t)block_size) {
+    for (uint16_t i = 0; i < rec->n_cigar; ++i) {
+      uint32_t v = rd_u32(p + cig_off + 4ull * i);
+      uint32_t op = v & 0xf, len = v >> 4;
+      // M, D, N, =, X consume reference
+      if (op == 0 || op == 2 || op == 3 || op == 7 || op == 8) rec->ref_span += (int32_t)len;
+    }
+  }
+  return true;
+}
+
+// ---- BAI (SAM spec binning index) -----------------------------------------
+
+constexpr int32_t MAX_BIN = ((1 << 18) - 1) / 7;  // 37449: bins for 2^29 range
+
+int32_t reg2bin(int64_t beg, int64_t end) {
+  --end;
+  if (beg >> 14 == end >> 14) return (int32_t)(((1 << 15) - 1) / 7 + (beg >> 14));
+  if (beg >> 17 == end >> 17) return (int32_t)(((1 << 12) - 1) / 7 + (beg >> 17));
+  if (beg >> 20 == end >> 20) return (int32_t)(((1 << 9) - 1) / 7 + (beg >> 20));
+  if (beg >> 23 == end >> 23) return (int32_t)(((1 << 6) - 1) / 7 + (beg >> 23));
+  if (beg >> 26 == end >> 26) return (int32_t)(((1 << 3) - 1) / 7 + (beg >> 26));
+  return 0;
+}
+
+void reg2bins(int64_t beg, int64_t end, std::vector<int32_t>* bins) {
+  --end;
+  bins->push_back(0);
+  for (int64_t k = 1 + (beg >> 26); k <= 1 + (end >> 26); ++k) bins->push_back((int32_t)k);
+  for (int64_t k = 9 + (beg >> 23); k <= 9 + (end >> 23); ++k) bins->push_back((int32_t)k);
+  for (int64_t k = 73 + (beg >> 20); k <= 73 + (end >> 20); ++k) bins->push_back((int32_t)k);
+  for (int64_t k = 585 + (beg >> 17); k <= 585 + (end >> 17); ++k) bins->push_back((int32_t)k);
+  for (int64_t k = 4681 + (beg >> 14); k <= 4681 + (end >> 14); ++k) bins->push_back((int32_t)k);
+}
+
+struct Chunk {
+  uint64_t beg, end;
+};
+
+struct BaiRef {
+  std::map<int32_t, std::vector<Chunk>> bins;
+  std::vector<uint64_t> ioffsets;  // 16kb linear index
+};
+
+struct Bai {
+  std::vector<BaiRef> refs;
+};
+
+bool read_bai(const char* path, Bai* bai) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return false;
+  auto rd = [&](void* dst, size_t n) { return fread(dst, 1, n, f) == n; };
+  char magic[4];
+  int32_t n_ref;
+  bool ok = rd(magic, 4) && memcmp(magic, "BAI\1", 4) == 0 && rd(&n_ref, 4);
+  if (ok) {
+    bai->refs.resize(n_ref);
+    for (int32_t i = 0; ok && i < n_ref; ++i) {
+      int32_t n_bin;
+      ok = rd(&n_bin, 4);
+      for (int32_t b = 0; ok && b < n_bin; ++b) {
+        uint32_t bin;
+        int32_t n_chunk;
+        ok = rd(&bin, 4) && rd(&n_chunk, 4);
+        if (!ok) break;
+        auto& v = bai->refs[i].bins[(int32_t)bin];
+        v.resize(n_chunk);
+        for (int32_t c = 0; ok && c < n_chunk; ++c) {
+          ok = rd(&v[c].beg, 8) && rd(&v[c].end, 8);
+        }
+      }
+      int32_t n_intv;
+      if (ok) ok = rd(&n_intv, 4);
+      if (ok) {
+        bai->refs[i].ioffsets.resize(n_intv);
+        for (int32_t c = 0; ok && c < n_intv; ++c) ok = rd(&bai->refs[i].ioffsets[c], 8);
+      }
+    }
+  }
+  fclose(f);
+  return ok;
+}
+
+std::string bai_path_for(const char* bam_path) {
+  std::string p(bam_path);
+  std::string cand = p + ".bai";
+  FILE* f = fopen(cand.c_str(), "rb");
+  if (f) {
+    fclose(f);
+    return cand;
+  }
+  if (p.size() > 4 && p.substr(p.size() - 4) == ".bam") {
+    cand = p.substr(0, p.size() - 4) + ".bai";
+    f = fopen(cand.c_str(), "rb");
+    if (f) {
+      fclose(f);
+      return cand;
+    }
+  }
+  return "";
+}
+
+}  // namespace
+}  // namespace gridtpu
+
+using namespace gridtpu;
+
+extern "C" {
+
+// Count reads passing the reference filter in [start, end) on `chrom`.
+// flags: array of accepted SAM flag values (exact match), n_flags entries.
+// Returns count >= 0, or negative error code.
+int64_t grid_bam_count(const char* path, const char* chrom, int64_t start, int64_t end,
+                       const int32_t* flags, int32_t n_flags, int32_t min_mapq) {
+  BgzfReader r;
+  if (!r.open(path)) return -1;
+  BamHeader hdr;
+  if (!read_header(r, &hdr)) return -2;
+  int32_t tid = hdr.tid(chrom);
+  if (tid < 0) return 0;
+
+  std::unordered_set<int32_t> flagset(flags, flags + n_flags);
+
+  auto passes = [&](const Rec& rec) {
+    return rec.refid == tid && flagset.count((int32_t)rec.flag) &&
+           rec.mapq >= min_mapq && rec.refid == rec.next_refid &&
+           !(rec.flag & FLAG_DUP) && !(rec.flag & FLAG_SECONDARY) &&
+           rec.pos >= start && rec.pos < end;
+  };
+
+  int64_t count = 0;
+  std::vector<uint8_t> buf;
+  Rec rec;
+
+  std::string bai_path = bai_path_for(path);
+  Bai bai;
+  if (!bai_path.empty() && read_bai(bai_path.c_str(), &bai) && tid < (int32_t)bai.refs.size()) {
+    // indexed path: gather candidate chunks, prune by linear index
+    const BaiRef& ref = bai.refs[tid];
+    std::vector<int32_t> cand;
+    reg2bins(start, end, &cand);
+    uint64_t min_off = 0;
+    size_t intv = (size_t)(start >> 14);
+    if (intv < ref.ioffsets.size()) min_off = ref.ioffsets[intv];
+    std::vector<Chunk> chunks;
+    for (int32_t b : cand) {
+      auto it = ref.bins.find(b);
+      if (it == ref.bins.end()) continue;
+      for (const Chunk& c : it->second) {
+        if (c.end > min_off) chunks.push_back(c);
+      }
+    }
+    std::sort(chunks.begin(), chunks.end(),
+              [](const Chunk& a, const Chunk& b) { return a.beg < b.beg; });
+    // merge overlapping/adjacent chunks
+    std::vector<Chunk> merged;
+    for (const Chunk& c : chunks) {
+      if (!merged.empty() && c.beg <= merged.back().end) {
+        merged.back().end = std::max(merged.back().end, c.end);
+      } else {
+        merged.push_back(c);
+      }
+    }
+    for (const Chunk& c : merged) {
+      if (!r.seek(c.beg)) return -3;
+      while (r.tell() < c.end) {
+        if (!read_record(r, buf, &rec)) break;
+        if (rec.refid != tid || rec.pos >= end) {
+          if (rec.refid > tid || (rec.refid == tid && rec.pos >= end)) break;
+          continue;
+        }
+        if (passes(rec)) ++count;
+      }
+    }
+  } else {
+    // no index: full sequential scan
+    while (read_record(r, buf, &rec)) {
+      if (passes(rec)) ++count;
+    }
+  }
+  return count;
+}
+
+// Genome-binned depth (mosdepth --fast-mode semantics). Writes
+// "chrom\tstart\tend\tdepth" gzip lines for every bin of every reference.
+int grid_bam_binned_depth(const char* path, const char* out_path, int32_t bin_size,
+                          int32_t exclude_flags, int32_t min_mapq) {
+  BgzfReader r;
+  if (!r.open(path)) return -1;
+  BamHeader hdr;
+  if (!read_header(r, &hdr)) return -2;
+
+  std::vector<std::vector<int64_t>> overlap(hdr.refs.size());
+  for (size_t i = 0; i < hdr.refs.size(); ++i) {
+    overlap[i].assign((hdr.refs[i].len + bin_size - 1) / bin_size, 0);
+  }
+
+  std::vector<uint8_t> buf;
+  Rec rec;
+  while (read_record(r, buf, &rec)) {
+    if (rec.refid < 0 || rec.refid >= (int32_t)hdr.refs.size()) continue;
+    if (rec.flag & exclude_flags) continue;
+    if (rec.mapq < min_mapq) continue;
+    int64_t beg = rec.pos;
+    int64_t end = rec.pos + (rec.ref_span > 0 ? rec.ref_span : 0);
+    if (end <= beg) continue;
+    auto& bins = overlap[rec.refid];
+    for (int64_t b = beg / bin_size; b <= (end - 1) / bin_size && b < (int64_t)bins.size(); ++b) {
+      int64_t bs = b * bin_size, be = bs + bin_size;
+      int64_t o = std::min(end, be) - std::max(beg, bs);
+      if (o > 0) bins[b] += o;
+    }
+  }
+
+  gzFile out = gzopen(out_path, "wb");
+  if (!out) return -3;
+  for (size_t i = 0; i < hdr.refs.size(); ++i) {
+    for (size_t b = 0; b < overlap[i].size(); ++b) {
+      int64_t bs = (int64_t)b * bin_size;
+      int64_t be = std::min<int64_t>(bs + bin_size, hdr.refs[i].len);
+      double depth = (double)overlap[i][b] / (double)(be - bs);
+      gzprintf(out, "%s\t%lld\t%lld\t%.2f\n", hdr.refs[i].name.c_str(), (long long)bs,
+               (long long)be, depth);
+    }
+  }
+  gzclose(out);
+  return 0;
+}
+
+// Build a BAI index for a coordinate-sorted BAM.
+int grid_bam_build_bai(const char* path, const char* out_path) {
+  BgzfReader r;
+  if (!r.open(path)) return -1;
+  BamHeader hdr;
+  if (!read_header(r, &hdr)) return -2;
+
+  std::vector<BaiRef> refs(hdr.refs.size());
+  std::vector<uint8_t> buf;
+  Rec rec;
+
+  for (;;) {
+    uint64_t voff_start = r.tell();
+    if (!read_record(r, buf, &rec)) break;
+    uint64_t voff_end = r.tell();
+    if (rec.refid < 0 || rec.refid >= (int32_t)refs.size()) continue;
+    int64_t beg = rec.pos;
+    int64_t end = rec.pos + std::max(rec.ref_span, 1);
+    int32_t bin = reg2bin(beg, end);
+    auto& chunks = refs[rec.refid].bins[bin];
+    if (!chunks.empty() && chunks.back().end == voff_start) {
+      chunks.back().end = voff_end;
+    } else {
+      chunks.push_back({voff_start, voff_end});
+    }
+    // linear index: min voffset per 16kb window covered by the read
+    auto& io = refs[rec.refid].ioffsets;
+    size_t first = (size_t)(beg >> 14), last = (size_t)((end - 1) >> 14);
+    if (io.size() <= last) io.resize(last + 1, 0);
+    for (size_t w = first; w <= last; ++w) {
+      if (io[w] == 0 || voff_start < io[w]) io[w] = voff_start;
+    }
+  }
+
+  FILE* out = fopen(out_path, "wb");
+  if (!out) return -3;
+  auto wr = [&](const void* p, size_t n) { fwrite(p, 1, n, out); };
+  wr("BAI\1", 4);
+  int32_t n_ref = (int32_t)refs.size();
+  wr(&n_ref, 4);
+  for (const auto& ref : refs) {
+    int32_t n_bin = (int32_t)ref.bins.size();
+    wr(&n_bin, 4);
+    for (const auto& [bin, chunks] : ref.bins) {
+      uint32_t b = (uint32_t)bin;
+      int32_t n_chunk = (int32_t)chunks.size();
+      wr(&b, 4);
+      wr(&n_chunk, 4);
+      for (const Chunk& c : chunks) {
+        wr(&c.beg, 8);
+        wr(&c.end, 8);
+      }
+    }
+    // fill linear-index gaps with the previous offset (spec-permitted)
+    std::vector<uint64_t> io = ref.ioffsets;
+    uint64_t prev = 0;
+    for (auto& v : io) {
+      if (v == 0) v = prev;
+      prev = v;
+    }
+    int32_t n_intv = (int32_t)io.size();
+    wr(&n_intv, 4);
+    for (uint64_t v : io) wr(&v, 8);
+  }
+  fclose(out);
+  return 0;
+}
+
+// Reference names/lengths inspection (for tests/tools).
+// Fills up to cap chars of NUL-separated names; returns n_refs or negative.
+int32_t grid_bam_refs(const char* path, char* names_out, int64_t cap, int32_t* lens_out,
+                      int32_t max_refs) {
+  BgzfReader r;
+  if (!r.open(path)) return -1;
+  BamHeader hdr;
+  if (!read_header(r, &hdr)) return -2;
+  int64_t off = 0;
+  int32_t n = std::min<int32_t>((int32_t)hdr.refs.size(), max_refs);
+  for (int32_t i = 0; i < n; ++i) {
+    int64_t need = (int64_t)hdr.refs[i].name.size() + 1;
+    if (off + need > cap) return -3;
+    memcpy(names_out + off, hdr.refs[i].name.c_str(), need);
+    off += need;
+    lens_out[i] = hdr.refs[i].len;
+  }
+  return n;
+}
+
+}  // extern "C"

@@ -1,0 +1,145 @@
+"""The fused cohort step over a device mesh.
+
+Two execution strategies, both producing the same results as the
+single-device :func:`grid_tpu.models.cohort.cohort_step`:
+
+- :func:`auto_sharded_cohort_step` — GSPMD: jit the fused step with cohort
+  shardings on its inputs and let XLA's partitioner insert the collectives.
+  Simplest, and optimal for cohorts whose gathered z fits per-device HBM.
+- :func:`sharded_cohort_step` — explicit shard_map composition: psum column
+  stats + ring-ppermute kNN, so the N x N distance matrix AND the full
+  gathered z never materialize. This is the 100k-sample/biobank path.
+
+Phasing operates on [2N] haplotype vectors — thousands of floats — so it
+runs replicated after an all-gather of the dipCN vector (communication is
+negligible next to the kNN ring).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from grid_tpu.models.cohort import CohortOutputs, CohortParams, cohort_step
+from grid_tpu.ops.dipcn import compute_dipcn
+from grid_tpu.ops.knn import prepare_z, region_filter_mask
+from grid_tpu.ops.normalize import select_high_variance_mask
+from grid_tpu.ops.phasing import compute_imputed, phase_haplotypes
+from grid_tpu.parallel.mesh import (
+    cohort_sharding,
+    replicated_sharding,
+    shard_cohort_inputs,
+)
+from grid_tpu.parallel.pknn import ring_knn
+from grid_tpu.parallel.pstats import normalize_cohort_sharded
+
+
+def auto_sharded_cohort_step(mesh, params: CohortParams):
+    """GSPMD variant: the fused single-device step jitted with shardings."""
+    s2 = cohort_sharding(mesh, 2)
+    s1 = cohort_sharding(mesh, 1)
+    rep = replicated_sharding(mesh)
+
+    def _bound(values, mask, reads, reads_valid, hap_idx, hap_w, hap_valid, row_valid):
+        return cohort_step(
+            values, mask, reads, reads_valid, hap_idx, hap_w, hap_valid,
+            params=params, row_valid=row_valid,
+        )
+
+    # outputs: let XLA choose (row-major outputs stay cohort-sharded)
+    return jax.jit(_bound, in_shardings=(s2, s2, s1, s1, rep, rep, rep, s1))
+
+
+def sharded_cohort_step(
+    mesh,
+    values,
+    mask,
+    reads,
+    reads_valid,
+    hap_nbr_idx,
+    hap_nbr_w,
+    hap_nbr_valid,
+    params: CohortParams = CohortParams(),
+) -> CohortOutputs:
+    """Explicit-collective variant. Host-side entry: pads + shards inputs,
+    then runs psum-stats -> ring kNN -> local dipCN -> replicated phasing.
+
+    Args:
+        values/mask: [N, R] host or device arrays (any N — padded here).
+        reads/reads_valid: [N].
+        hap_nbr_*: [2N, K] padded haplotype neighbors (replicated).
+        params: static hyperparameters.
+    """
+    values, mask, reads, reads_valid, row_valid = shard_cohort_inputs(
+        mesh, values, mask, reads, reads_valid
+    )
+    n_pad = values.shape[0]
+    n_rows = jnp.sum(row_valid)
+
+    # ---- step 4: sharded normalize ------------------------------------
+    norm = normalize_cohort_sharded(values, mask, mesh, n_rows=n_rows)
+    selected = select_high_variance_mask(norm.var_ratio, params.top_frac)
+
+    scales = norm.row_means_raw
+    z = norm.z
+    if params.quantize:
+        scales = jnp.round(scales * 100) / 100
+        z = jnp.where(norm.mask, jnp.round(z * 100) / 100, z)
+
+    # ---- step 5: region filter + ring kNN ------------------------------
+    ratios_seen = jnp.where(selected, norm.var_ratio, jnp.nan)
+    vfilter = region_filter_mask(ratios_seen, params.frac_r, params.sigma2_max)
+    region_used = selected & vfilter
+    r_use = jnp.sum(region_used)
+
+    zp = prepare_z(z, norm.mask, params.zmax, region_mask=region_used)
+    sample_ok = jnp.any(norm.mask, axis=1) & row_valid
+    sq_dists, nbr_idx = ring_knn(zp, params.num_neighbors, mesh, row_valid=sample_ok)
+
+    # ---- step 6: dipCN (neighbor gather needs replicated reads/scales) --
+    rep = replicated_sharding(mesh)
+    reads_g = jax.device_put(jax.device_get(reads), rep)
+    scales_g = jax.device_put(jax.device_get(scales), rep)
+    reads_valid_g = jax.device_put(jax.device_get(reads_valid & sample_ok), rep)
+
+    nbr_contrib = jnp.asarray(reads_g)[nbr_idx] / jnp.asarray(scales_g)[nbr_idx]
+    nbr_usable = jnp.asarray(reads_valid_g)[nbr_idx]
+    dipcn, dipcn_valid = compute_dipcn(
+        jnp.asarray(reads) / scales,
+        reads_valid & sample_ok,
+        nbr_contrib,
+        nbr_usable,
+        n_nbr=params.n_nbr,
+    )
+
+    # ---- step 7: replicated phasing ------------------------------------
+    irrs = jnp.where(dipcn_valid, dipcn, jnp.nan)
+    irrs_g = jax.device_put(jax.device_get(irrs)[: hap_nbr_idx.shape[0] // 2], rep)
+    phasing = phase_haplotypes(
+        irrs_g, hap_nbr_idx, hap_nbr_w, hap_nbr_valid, params.min_nbr, params.n_iters
+    )
+    imp = compute_imputed(
+        phasing.hap_irrs, hap_nbr_idx, hap_nbr_w, hap_nbr_valid, phasing.mean_irrs
+    )
+
+    return CohortOutputs(
+        z=z,
+        z_mask=norm.mask,
+        col_means=norm.col_means,
+        col_vars=norm.col_vars,
+        var_ratio=norm.var_ratio,
+        region_selected=selected,
+        region_used=region_used,
+        r_use=r_use,
+        scales=scales,
+        nbr_idx=nbr_idx,
+        nbr_sq_dists=sq_dists,
+        dipcn=dipcn,
+        dipcn_valid=dipcn_valid,
+        hap_irrs=phasing.hap_irrs,
+        hap_imp=imp,
+        phased=phasing.phased,
+        mean_irrs=phasing.mean_irrs,
+    )

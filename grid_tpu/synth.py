@@ -44,6 +44,42 @@ def make_synthetic_cohort(
 
     Returns a dict with ids, truth arrays and all file paths.
     """
+    return _make_cohort(
+        out_dir, n_samples, chrom, window_start, window_end, flank_bins, bin_size,
+        mean_depth, depth_sd, reads_per_copy, seed, missing_frac,
+        make_alignments=False, read_len=100,
+    )
+
+
+def make_synthetic_cohort_with_alignments(
+    out_dir,
+    n_samples: int = 6,
+    chrom: str = "chr6",
+    window_start: int = 160_605_000,
+    window_end: int = 160_615_000,
+    flank_bins: int = 10,
+    bin_size: int = 1000,
+    mean_depth: float = 8.0,
+    depth_sd: float = 0.8,
+    reads_per_copy: float = 200.0,
+    seed: int = 0,
+    read_len: int = 100,
+):
+    """Variant producing real BAM files (via grid_tpu.io.bamlite) so the
+    index / count_reads / coverage steps run end-to-end on the native
+    ingestion path — no pysam, htslib or mosdepth binary required."""
+    return _make_cohort(
+        out_dir, n_samples, chrom, window_start, window_end, flank_bins, bin_size,
+        mean_depth, depth_sd, reads_per_copy, seed, 0.0,
+        make_alignments=True, read_len=read_len,
+    )
+
+
+def _make_cohort(
+    out_dir, n_samples, chrom, window_start, window_end, flank_bins, bin_size,
+    mean_depth, depth_sd, reads_per_copy, seed, missing_frac,
+    make_alignments, read_len,
+):
     out = Path(out_dir)
     work = out / "mosdepth_workdir"
     work.mkdir(parents=True, exist_ok=True)
@@ -91,6 +127,35 @@ def make_synthetic_cohort(
             lam = reads_per_copy * dip_cn[i] * base_depth[i] / mean_depth
             f.write(f"{sid}\t{int(rng.poisson(lam))}\n")
 
+    # optional: real BAM alignments matching the depth model
+    aln_dir = out / "alignments"
+    if make_alignments:
+        from grid_tpu.io.bamlite import encode_record, write_bam
+
+        aln_dir.mkdir(parents=True, exist_ok=True)
+        chrom_len = all_bins[-1][1] + 10_000
+        for i, sid in enumerate(ids):
+            positions = []
+            for (bs, be) in all_bins:
+                in_window = bs >= window_start and be <= window_end
+                dose = dip_cn[i] / 2 if in_window else 1.0
+                depth = base_depth[i] * dose
+                n_reads = max(int(round(depth * (be - bs) / read_len)), 0)
+                positions.extend(
+                    int(p) for p in rng.integers(bs, max(be - read_len, bs + 1), size=n_reads)
+                )
+            positions.sort()
+            recs = [
+                encode_record(
+                    0, pos, 83 if j % 2 == 0 else 147, mapq=60,
+                    read_name=f"{sid}r{j}", seq_len=read_len,
+                    next_pos=pos + 150,
+                )
+                for j, pos in enumerate(positions)
+            ]
+            bam_path = aln_dir / f"{sid}.bam"
+            write_bam(bam_path, [(chrom, chrom_len)], recs)
+
     # repeat mask: a region far away (exercises the path without masking bins)
     mask_file = out / "repeat_mask.bed"
     mask_file.write_text(f"{chrom}\t1000000\t1002000\n")
@@ -131,7 +196,7 @@ def make_synthetic_cohort(
     span_end = all_bins[-1][1]
     config = {
         "samples_file": str(samples_file),
-        "directory_loc": str(out / "alignments"),
+        "directory_loc": str(aln_dir),
         "reference_genome": str(samples_file),  # placeholder existing file
         "output_dir": str(results),
         "threads": 2,
@@ -140,14 +205,14 @@ def make_synthetic_cohort(
         "start_bp": span_start,
         "end_bp": span_end,
         "output_file_type": "tsv",
-        "index": {"run": False, "output_file_prefix": "index_file_results"},
+        "index": {"run": make_alignments, "output_file_prefix": "index_file_results"},
         "count_reads": {
-            "run": False,
+            "run": make_alignments,
             "output_file_prefix": "read_counts",
             "flags": [83, 147, 81, 145],
         },
         "mosdepth": {
-            "run": False,
+            "run": make_alignments,
             "output_file_prefix": "mosdepth_results",
             "bin_size": bin_size,
             "mode": "fast",
@@ -156,7 +221,7 @@ def make_synthetic_cohort(
             "remove_intermediate": False,
             "normalize": {
                 "run": True,
-                "min_depth": 10,
+                "min_depth": 10 if not make_alignments else 2,
                 "max_depth": 100,
                 "top_frac": 0.1,
                 "output_file_prefix": "mosdepth_results_normalized",

@@ -1,0 +1,184 @@
+"""Native C++ layer tests: bed.gz reader parity, BAM counting (indexed and
+full-scan), depth binning, and BAI construction — all against hermetic
+fixtures written by the pure-Python bamlite writer."""
+
+import gzip
+import shutil
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    shutil.which("g++") is None, reason="no C++ toolchain"
+)
+
+
+@pytest.fixture(scope="module")
+def native():
+    from grid_tpu import native as native_pkg
+
+    try:
+        native_pkg.lib()
+    except Exception as e:  # pragma: no cover
+        pytest.skip(f"native build failed: {e}")
+    from grid_tpu.native import bam, bedgz
+
+    return bam, bedgz
+
+
+# ------------------------------------------------------------- bed.gz -----
+
+
+def test_bedgz_native_matches_python(tmp_path, native, rng):
+    _, bedgz = native
+    from grid_tpu.io import bed as pybed
+
+    p = tmp_path / "x.regions.bed.gz"
+    rows = []
+    for i in range(500):
+        start = i * 1000
+        rows.append(("chr6" if i % 3 else "chr7", start, start + 1000, float(rng.uniform(0, 50))))
+    with gzip.open(p, "wt") as f:
+        for c, s, e, d in rows:
+            f.write(f"{c}\t{s}\t{e}\t{d:.4f}\n")
+
+    excluded = {"chr6": {3, 7, 100}}
+    for chrom, start, end in [("chr6", 100000, 300000), ("chr6", None, None), (None, None, None)]:
+        n_s, n_e, n_d = bedgz.read_regions_bed_gz(p, chrom, start, end, excluded)
+        # force the pure-python path by calling the internals directly
+        import grid_tpu.io.bed as bedmod
+
+        orig = bedmod._native_reader
+        bedmod._native_reader = lambda: None
+        try:
+            p_s, p_e, p_d = pybed.read_regions_bed_gz(p, chrom, start, end, excluded)
+        finally:
+            bedmod._native_reader = orig
+        np.testing.assert_array_equal(n_s, p_s)
+        np.testing.assert_array_equal(n_e, p_e)
+        np.testing.assert_allclose(n_d, p_d)
+
+
+def test_bedgz_chrom_normalisation(tmp_path, native):
+    _, bedgz = native
+    p = tmp_path / "y.regions.bed.gz"
+    with gzip.open(p, "wt") as f:
+        f.write("6\t1000\t2000\t30.0\n")  # bare '6' chrom, masked bin
+        f.write("6\t5000\t6000\t30.0\n")
+    starts, _, _ = bedgz.read_regions_bed_gz(p, None, None, None, {"chr6": {1, 2}})
+    assert list(starts) == [5000]
+
+
+# ---------------------------------------------------------------- BAM -----
+
+
+def _make_test_bam(path, n_reads=200, chrom="chr6", chrom_len=2_000_000, seed=0):
+    from grid_tpu.io.bamlite import encode_record, write_bam
+
+    rng = np.random.default_rng(seed)
+    flags_pool = [83, 147, 81, 145, 99, 1107, 339]  # incl. dup(1107), secondary(339)
+    recs = []
+    truth = []  # (pos, flag, mapq, same_ref)
+    positions = np.sort(rng.integers(0, chrom_len - 200, size=n_reads))
+    for i, pos in enumerate(positions):
+        flag = int(rng.choice(flags_pool))
+        mapq = int(rng.integers(0, 61))
+        same_ref = bool(rng.random() > 0.1)
+        recs.append(
+            encode_record(
+                0, int(pos), flag, mapq=mapq, read_name=f"r{i}", seq_len=100,
+                next_refid=0 if same_ref else 1, next_pos=int(pos) + 150,
+            )
+        )
+        truth.append((int(pos), flag, mapq, same_ref))
+    write_bam(path, [(chrom, chrom_len), ("chr7", 1_000_000)], recs)
+    return truth
+
+
+def _expected_count(truth, start, end, flags, min_mapq):
+    n = 0
+    for pos, flag, mapq, same_ref in truth:
+        if (
+            flag in flags
+            and mapq >= min_mapq
+            and same_ref
+            and not (flag & 0x400)
+            and not (flag & 0x100)
+            and start <= pos < end
+        ):
+            n += 1
+    return n
+
+
+def test_bam_count_full_scan(tmp_path, native):
+    bam, _ = native
+    p = tmp_path / "t.bam"
+    truth = _make_test_bam(p)
+    flags = {83, 147, 81, 145}
+    for (start, end, mapq) in [(0, 2_000_000, 1), (500_000, 800_000, 20), (0, 1, 1)]:
+        got = bam.count_reads_region(p, "chr6", start, end, flags, mapq)
+        assert got == _expected_count(truth, start, end, flags, mapq)
+
+
+def test_bam_count_indexed_matches_full(tmp_path, native):
+    bam, _ = native
+    p = tmp_path / "i.bam"
+    truth = _make_test_bam(p, n_reads=500, seed=7)
+    flags = {83, 147, 81, 145}
+    full = bam.count_reads_region(p, "chr6", 100_000, 1_500_000, flags, 10)
+    bai = bam.build_bai(p)
+    assert (tmp_path / "i.bam.bai").exists()
+    indexed = bam.count_reads_region(p, "chr6", 100_000, 1_500_000, flags, 10)
+    assert indexed == full == _expected_count(truth, 100_000, 1_500_000, flags, 10)
+
+
+def test_bam_count_chrom_name_normalisation(tmp_path, native):
+    bam, _ = native
+    p = tmp_path / "c.bam"
+    _make_test_bam(p)
+    a = bam.count_reads_region(p, "chr6", 0, 2_000_000, {83, 147}, 1)
+    b = bam.count_reads_region(p, "6", 0, 2_000_000, {83, 147}, 1)
+    assert a == b > 0
+
+
+def test_bam_refs(tmp_path, native):
+    bam, _ = native
+    p = tmp_path / "r.bam"
+    _make_test_bam(p)
+    refs = bam.references(p)
+    assert refs == [("chr6", 2_000_000), ("chr7", 1_000_000)]
+
+
+def test_binned_depth(tmp_path, native):
+    bam, _ = native
+    from grid_tpu.io.bamlite import encode_record, write_bam
+
+    p = tmp_path / "d.bam"
+    # two 100bp reads fully inside bin 0, one read straddling bins 1|2
+    recs = [
+        encode_record(0, 100, 99, seq_len=100),
+        encode_record(0, 300, 99, seq_len=100),
+        encode_record(0, 1950, 99, seq_len=100),
+        encode_record(0, 2500, 1024 | 99, seq_len=100),  # duplicate: excluded
+    ]
+    write_bam(p, [("chr6", 3000)], recs)
+    out = tmp_path / "d.regions.bed.gz"
+    bam.binned_depth(p, out, bin_size=1000)
+    lines = gzip.open(out, "rt").read().splitlines()
+    assert lines[0] == "chr6\t0\t1000\t0.20"  # 200bp / 1000
+    assert lines[1] == "chr6\t1000\t2000\t0.05"  # 50bp / 1000
+    assert lines[2] == "chr6\t2000\t3000\t0.05"  # 50bp / 1000 (dup excluded)
+
+
+def test_binned_depth_feeds_pipeline_staging(tmp_path, native):
+    bam, _ = native
+    from grid_tpu.io.bamlite import encode_record, write_bam
+    from grid_tpu.io.bed import read_regions_bed_gz
+
+    p = tmp_path / "s.bam"
+    recs = [encode_record(0, i * 37, 99, seq_len=100) for i in range(300)]
+    write_bam(p, [("chr6", 20_000)], recs)
+    out = tmp_path / "SYNQ_X.regions.bed.gz"
+    bam.binned_depth(p, out, bin_size=1000)
+    starts, ends, depths = read_regions_bed_gz(out, "chr6", None, None, {})
+    assert len(starts) > 0 and (depths > 0).all()

@@ -1,0 +1,133 @@
+"""Multi-device tests on the virtual 8-CPU mesh: sharded stats, ring kNN,
+and the full sharded cohort step vs the single-device fused step."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from grid_tpu.models.cohort import CohortParams, cohort_step
+from grid_tpu.ops.knn import knn_squared
+from grid_tpu.ops.normalize import normalize_cohort
+from grid_tpu.parallel import (
+    cohort_mesh,
+    normalize_cohort_sharded,
+    ring_knn,
+    sharded_cohort_step,
+    auto_sharded_cohort_step,
+)
+from grid_tpu.parallel.mesh import shard_cohort_inputs
+from grid_tpu.io.hap_neighbors import pad_hap_neighbors
+
+
+requires_multidevice = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+def _cohort_data(rng, n, r):
+    values = rng.uniform(20, 60, size=(n, r))
+    mask = rng.random((n, r)) > 0.1
+    return values * mask, mask
+
+
+@requires_multidevice
+def test_sharded_normalize_matches_single(rng):
+    n, r = 48, 33
+    values, mask = _cohort_data(rng, n, r)
+    mesh = cohort_mesh(8)
+
+    ref = normalize_cohort(values, mask)
+    res = normalize_cohort_sharded(
+        jax.device_put(values), jax.device_put(mask), mesh
+    )
+
+    np.testing.assert_allclose(np.asarray(res.col_means), np.asarray(ref.col_means), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(res.col_vars), np.asarray(ref.col_vars), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(res.var_ratio), np.asarray(ref.var_ratio), rtol=1e-12)
+    np.testing.assert_allclose(float(res.scale), float(ref.scale), rtol=1e-12)
+    zs, zr = np.asarray(res.z), np.asarray(ref.z)
+    ms = np.asarray(res.mask)
+    np.testing.assert_allclose(zs[ms], zr[ms], rtol=1e-10)
+
+
+@requires_multidevice
+def test_ring_knn_matches_single(rng):
+    n, r, k = 64, 12, 7
+    z = rng.normal(size=(n, r))
+    mesh = cohort_mesh(8)
+
+    ref_d, ref_i = knn_squared(jnp.asarray(z), k, row_block=16)
+    d, i = ring_knn(jax.device_put(jnp.asarray(z)), k, mesh)
+
+    np.testing.assert_allclose(np.asarray(d), np.asarray(ref_d), rtol=1e-9, atol=1e-9)
+    for row in range(n):
+        assert set(np.asarray(i)[row].tolist()) == set(np.asarray(ref_i)[row].tolist())
+
+
+@requires_multidevice
+def test_ring_knn_respects_row_valid(rng):
+    n, r, k = 40, 6, 5
+    z = rng.normal(size=(n, r))
+    valid = np.ones(n, dtype=bool)
+    valid[30:] = False  # padding tail
+    mesh = cohort_mesh(8)
+    d, i = ring_knn(jnp.asarray(z), k, mesh, row_valid=jnp.asarray(valid))
+    assert (np.asarray(i)[:30] < 30).all()
+
+
+@requires_multidevice
+def test_sharded_cohort_step_matches_fused(rng):
+    n, r = 22, 30  # deliberately NOT divisible by 8 — exercises padding
+    values, mask = _cohort_data(rng, n, r)
+    reads = rng.integers(500, 2000, size=n).astype(float)
+    reads_valid = np.ones(n, dtype=bool)
+    hap_nbrs = [
+        [((h + 2) % (2 * n), 1.0), ((h + 5) % (2 * n), 0.7)] for h in range(2 * n)
+    ]
+    hi, hw, hv = pad_hap_neighbors(hap_nbrs, 2, dtype=np.float64)
+    params = CohortParams(num_neighbors=6, n_nbr=6, n_iters=40, row_block=8)
+
+    ref = cohort_step(
+        values, mask, reads, reads_valid, hi, hw, hv, params
+    )
+    mesh = cohort_mesh(8)
+    res = sharded_cohort_step(mesh, values, mask, reads, reads_valid, hi, hw, hv, params)
+
+    np.testing.assert_allclose(float(res.r_use), float(ref.r_use))
+    ref_dip, ref_ok = np.asarray(ref.dipcn), np.asarray(ref.dipcn_valid)
+    res_dip, res_ok = np.asarray(res.dipcn)[:n], np.asarray(res.dipcn_valid)[:n]
+    assert (ref_ok == res_ok).all()
+    np.testing.assert_allclose(res_dip[res_ok], ref_dip[ref_ok], rtol=1e-9)
+    # phasing identical (same dipCN input)
+    rh, sh = np.asarray(ref.hap_irrs), np.asarray(res.hap_irrs)
+    nanmask = np.isnan(rh)
+    assert (nanmask == np.isnan(sh)).all()
+    np.testing.assert_allclose(sh[~nanmask], rh[~nanmask], rtol=1e-9)
+
+
+@requires_multidevice
+def test_auto_sharded_cohort_step_runs(rng):
+    n, r = 32, 16
+    values, mask = _cohort_data(rng, n, r)
+    reads = rng.integers(500, 2000, size=n).astype(float)
+    reads_valid = np.ones(n, dtype=bool)
+    hap_nbrs = [[((h + 2) % (2 * n), 1.0)] for h in range(2 * n)]
+    hi, hw, hv = pad_hap_neighbors(hap_nbrs, 1, dtype=np.float64)
+    params = CohortParams(num_neighbors=4, n_nbr=4, n_iters=10, row_block=8)
+
+    mesh = cohort_mesh(8)
+    vals, msk, rds, rdv, rv = shard_cohort_inputs(mesh, values, mask, reads, reads_valid)
+    # hap arrays sized for padded N
+    n_pad = vals.shape[0]
+    hap_nbrs_p = hap_nbrs + [[] for _ in range(2 * (n_pad - n))]
+    hi_p, hw_p, hv_p = pad_hap_neighbors(hap_nbrs_p, 1, dtype=np.float64)
+
+    step = auto_sharded_cohort_step(mesh, params)
+    out = step(vals, msk, rds, rdv, jnp.asarray(hi_p), jnp.asarray(hw_p), jnp.asarray(hv_p), rv)
+
+    ref = cohort_step(values, mask, reads, reads_valid, hi, hw, hv, params)
+    ref_dip, ref_ok = np.asarray(ref.dipcn), np.asarray(ref.dipcn_valid)
+    out_dip, out_ok = np.asarray(out.dipcn)[:n], np.asarray(out.dipcn_valid)[:n]
+    assert (ref_ok == out_ok).all()
+    np.testing.assert_allclose(out_dip[out_ok], ref_dip[ref_ok], rtol=1e-9)
