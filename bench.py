@@ -42,8 +42,12 @@ def bench_device(values, mask, reads, k, n_nbr, iters=3):
     from grid_tpu.io.hap_neighbors import pad_hap_neighbors
 
     n = values.shape[0]
+    # Pallas fused-prep kNN on TPU (1.5-1.6x over the XLA path); the N^2 Gram
+    # materializes in HBM, so cap it to cohorts that comfortably fit.
+    use_pallas = jax.default_backend() == "tpu" and n <= 32768
     params = CohortParams(
-        num_neighbors=k, n_nbr=n_nbr, n_iters=0, quantize=False, row_block=256
+        num_neighbors=k, n_nbr=n_nbr, n_iters=0, quantize=False, row_block=256,
+        use_pallas=use_pallas,
     )
     fn = make_cohort_step(params)
 

@@ -135,6 +135,63 @@ def synth(out, n_samples, seed, missing_frac):
 
 
 @cli.command()
+@click.option("-a", "--aln", required=True, type=click.Path(exists=True), help="BAM/CRAM file")
+@click.option("-c", "--chrom", required=True)
+@click.option("-s", "--start", required=True, type=int)
+@click.option("-e", "--end", required=True, type=int)
+@click.option("-o", "--output", required=True, type=click.Path())
+@click.option("-R", "--reference", type=click.Path(exists=True), help="FASTA (CRAM only)")
+def subset(aln, chrom, start, end, output, reference):
+    """Extract the reads of a region into a new BAM/CRAM."""
+    from grid_tpu.tools import subset_alignment
+
+    n = subset_alignment(aln, chrom, start, end, output, reference)
+    log(_console(), f"Wrote {n} records → {output}", style="success")
+
+
+@cli.command(name="batch-subset")
+@click.option("-C", "--aln-dir", required=True, type=click.Path(exists=True))
+@click.option("-c", "--chrom", required=True)
+@click.option("-s", "--start", required=True, type=int)
+@click.option("-e", "--end", required=True, type=int)
+@click.option("-o", "--output-dir", required=True, type=click.Path())
+@click.option("-R", "--reference", type=click.Path(exists=True))
+@click.option("-t", "--threads", default=1, type=int)
+def batch_subset_cmd(aln_dir, chrom, start, end, output_dir, reference, threads):
+    """Subset every alignment file in a directory to a region."""
+    from grid_tpu.tools import batch_subset
+
+    res = batch_subset(aln_dir, chrom, start, end, output_dir, reference, threads, _console())
+    ok = sum(1 for v in res.values() if v is not None)
+    log(_console(), f"Subset {ok}/{len(res)} files → {output_dir}", style="success")
+
+
+@cli.command(name="batch-crai")
+@click.option("-C", "--aln-dir", required=True, type=click.Path(exists=True))
+@click.option("-R", "--reference", type=click.Path(exists=True))
+@click.option("-t", "--threads", default=1, type=int)
+def batch_crai(aln_dir, reference, threads):
+    """Create missing BAI/CRAI indexes for every file in a directory."""
+    from grid_tpu.tools import batch_ensure_index
+
+    res = batch_ensure_index(aln_dir, reference, threads, _console())
+    ok = sum(res.values())
+    log(_console(), f"Indexed {ok}/{len(res)} files", style="success")
+
+
+@cli.command(name="add-gen-map")
+@click.option("--map", "map_file", required=True, type=click.Path(exists=True), help="PLINK MAP")
+@click.option("--genetic-map", required=True, type=click.Path(exists=True), help="Eagle genetic map")
+@click.option("--out", required=True, help="output prefix")
+def add_gen_map(map_file, genetic_map, out):
+    """Interpolate cM onto a PLINK MAP (computeIBSpbwt input prep)."""
+    from grid_tpu.tools import add_genetic_map
+
+    out_path = add_genetic_map(map_file, genetic_map, out)
+    log(_console(), f"Wrote {out_path}", style="success")
+
+
+@cli.command()
 def devices():
     """Show JAX devices/mesh info for this host."""
     import jax

@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from grid_tpu.ops.dipcn import compute_dipcn
-from grid_tpu.ops.knn import knn_squared, prepare_z, region_filter_mask
+from grid_tpu.ops.knn import knn_squared, knn_squared_pallas, prepare_z, region_filter_mask
 from grid_tpu.ops.normalize import normalize_cohort, select_high_variance_mask
 from grid_tpu.ops.phasing import PhasingResult, compute_imputed, phase_haplotypes
 
@@ -52,6 +52,7 @@ class CohortParams(NamedTuple):
     n_iters: int = 100  # phasing sweeps
     quantize: bool = True  # mimic %.2f file round-trip of scales/z
     row_block: int = 512  # kNN panel rows
+    use_pallas: bool = False  # fused-prep Pallas kNN (TPU; N^2 Gram in HBM)
 
 
 class CohortOutputs(NamedTuple):
@@ -133,7 +134,6 @@ def cohort_step(
     region_used = selected & vfilter
     r_use = jnp.sum(region_used)
 
-    zp = prepare_z(z, norm.mask, params.zmax, region_mask=region_used)
     # Rows with no surviving cells mirror the reference's host-side
     # filter_empty_samples (grid/utils/normalize_mosdepth.py:576-600): they
     # never appear in the written matrix, so they must not be selectable as
@@ -141,9 +141,17 @@ def cohort_step(
     sample_ok = norm.mask.any(axis=1)
     if row_valid is not None:
         sample_ok = sample_ok & row_valid
-    sq_dists, nbr_idx = knn_squared(
-        zp, params.num_neighbors, row_valid=sample_ok, row_block=params.row_block
-    )
+    if params.use_pallas:
+        # fused z-prep + Gram matmul in one Pallas kernel (TPU fast path)
+        sq_dists, nbr_idx = knn_squared_pallas(
+            z, norm.mask, region_used, params.zmax, params.num_neighbors,
+            row_valid=sample_ok,
+        )
+    else:
+        zp = prepare_z(z, norm.mask, params.zmax, region_mask=region_used)
+        sq_dists, nbr_idx = knn_squared(
+            zp, params.num_neighbors, row_valid=sample_ok, row_block=params.row_block
+        )
 
     # ---- step 6: dipCN -------------------------------------------------
     reads = jnp.asarray(reads)

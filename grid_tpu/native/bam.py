@@ -58,3 +58,21 @@ def references(path, max_refs=1024):
         out.append((raw[off:end].decode(), int(lens[i])))
         off = end + 1
     return out
+
+
+def subset_region(path, chrom, start, end, out_path) -> int:
+    """Write records overlapping [start, end) to a new BAM (native BGZF
+    writer). Returns the number of records written."""
+    import ctypes as _ct
+
+    l = lib()
+    l.grid_bam_subset.restype = _ct.c_int64
+    l.grid_bam_subset.argtypes = [_ct.c_char_p, _ct.c_char_p, _ct.c_int64, _ct.c_int64, _ct.c_char_p]
+    rc = l.grid_bam_subset(
+        str(path).encode(), str(chrom).encode(), int(start), int(end), str(out_path).encode()
+    )
+    if rc == -4:
+        raise ValueError(f"chromosome {chrom!r} not found in {path}")
+    if rc < 0:
+        raise IOError(f"grid_bam_subset({path}) failed with code {rc}")
+    return int(rc)

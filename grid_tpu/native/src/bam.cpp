@@ -449,3 +449,172 @@ int32_t grid_bam_refs(const char* path, char* names_out, int64_t cap, int32_t* l
 }
 
 }  // extern "C"
+
+// ---- BGZF writing + BAM region subset -------------------------------------
+// Covers the reference's subset_cram capability (utils/subset_cram.py:26-32)
+// for BAM: copy the header plus all records overlapping [start, end) into a
+// new coordinate-sorted BAM (used to build small test cohorts).
+
+namespace gridtpu {
+namespace {
+
+class BgzfWriter {
+ public:
+  bool open(const char* path) {
+    f_ = fopen(path, "wb");
+    buf_.reserve(0xff00);
+    return f_ != nullptr;
+  }
+  bool write(const void* data, size_t n) {
+    const uint8_t* p = (const uint8_t*)data;
+    while (n > 0) {
+      size_t room = 0xff00 - buf_.size();
+      size_t take = n < room ? n : room;
+      buf_.insert(buf_.end(), p, p + take);
+      p += take;
+      n -= take;
+      if (buf_.size() == 0xff00 && !flush_block()) return false;
+    }
+    return true;
+  }
+  bool close() {
+    if (!f_) return true;
+    bool ok = true;
+    if (!buf_.empty()) ok = flush_block();
+    // standard 28-byte BGZF EOF marker
+    static const uint8_t kEof[28] = {0x1f, 0x8b, 0x08, 0x04, 0,    0,    0,    0,
+                                     0,    0xff, 0x06, 0x00, 0x42, 0x43, 0x02, 0x00,
+                                     0x1b, 0x00, 0x03, 0x00, 0,    0,    0,    0,
+                                     0,    0,    0,    0};
+    ok = ok && fwrite(kEof, 1, 28, f_) == 28;
+    fclose(f_);
+    f_ = nullptr;
+    return ok;
+  }
+  ~BgzfWriter() { close(); }
+
+ private:
+  bool flush_block() {
+    uLongf bound = compressBound((uLong)buf_.size());
+    std::vector<uint8_t> cdata(bound);
+    z_stream zs;
+    memset(&zs, 0, sizeof(zs));
+    if (deflateInit2(&zs, 6, Z_DEFLATED, -15, 8, Z_DEFAULT_STRATEGY) != Z_OK) return false;
+    zs.next_in = buf_.data();
+    zs.avail_in = (uInt)buf_.size();
+    zs.next_out = cdata.data();
+    zs.avail_out = (uInt)bound;
+    int ret = deflate(&zs, Z_FINISH);
+    uLong clen = zs.total_out;
+    deflateEnd(&zs);
+    if (ret != Z_STREAM_END) return false;
+
+    uint32_t bsize = (uint32_t)(clen + 26);  // hdr12 + extra6 + cdata + crc4 + isize4
+    uint8_t hdr[18] = {0x1f, 0x8b, 0x08, 0x04, 0, 0, 0, 0, 0, 0xff, 0x06, 0x00,
+                       0x42, 0x43, 0x02, 0x00, 0, 0};
+    hdr[16] = (uint8_t)((bsize - 1) & 0xff);
+    hdr[17] = (uint8_t)(((bsize - 1) >> 8) & 0xff);
+    uint32_t crc = crc32(0L, buf_.data(), (uInt)buf_.size());
+    uint32_t isize = (uint32_t)buf_.size();
+    bool ok = fwrite(hdr, 1, 18, f_) == 18 && fwrite(cdata.data(), 1, clen, f_) == clen &&
+              fwrite(&crc, 1, 4, f_) == 4 && fwrite(&isize, 1, 4, f_) == 4;
+    buf_.clear();
+    return ok;
+  }
+
+  FILE* f_ = nullptr;
+  std::vector<uint8_t> buf_;
+};
+
+}  // namespace
+}  // namespace gridtpu
+
+extern "C" {
+
+// Subset records overlapping [start, end) on `chrom` into a new BAM.
+// Returns number of records written, or negative error.
+int64_t grid_bam_subset(const char* path, const char* chrom, int64_t start, int64_t end,
+                        const char* out_path) {
+  BgzfReader r;
+  if (!r.open(path)) return -1;
+
+  // Re-read the raw header bytes so the output preserves them verbatim.
+  uint8_t magic[4];
+  if (!r.read(magic, 4) || memcmp(magic, "BAM\1", 4) != 0) return -2;
+  uint8_t b4[4];
+  if (!r.read(b4, 4)) return -2;
+  int32_t l_text = rd_i32(b4);
+  std::vector<uint8_t> text(l_text);
+  if (l_text && !r.read(text.data(), l_text)) return -2;
+  if (!r.read(b4, 4)) return -2;
+  int32_t n_ref = rd_i32(b4);
+
+  BamHeader hdr;
+  std::vector<uint8_t> ref_blob;
+  for (int32_t i = 0; i < n_ref; ++i) {
+    uint8_t lb[4];
+    if (!r.read(lb, 4)) return -2;
+    int32_t l_name = rd_i32(lb);
+    std::vector<uint8_t> name(l_name);
+    if (!r.read(name.data(), l_name)) return -2;
+    uint8_t ln[4];
+    if (!r.read(ln, 4)) return -2;
+    Ref ref;
+    ref.name.assign((const char*)name.data(), l_name - 1);
+    ref.len = rd_i32(ln);
+    hdr.refs.push_back(ref);
+    ref_blob.insert(ref_blob.end(), lb, lb + 4);
+    ref_blob.insert(ref_blob.end(), name.begin(), name.end());
+    ref_blob.insert(ref_blob.end(), ln, ln + 4);
+  }
+  int32_t tid = hdr.tid(chrom);
+  if (tid < 0) return -4;
+
+  BgzfWriter w;
+  if (!w.open(out_path)) return -5;
+  w.write("BAM\1", 4);
+  int32_t lt = l_text;
+  w.write(&lt, 4);
+  if (l_text) w.write(text.data(), l_text);
+  w.write(&n_ref, 4);
+  if (!ref_blob.empty()) w.write(ref_blob.data(), ref_blob.size());
+
+  int64_t written = 0;
+  std::vector<uint8_t> data;
+  for (;;) {
+    uint8_t bs4[4];
+    if (r.eof()) break;
+    if (!r.read(bs4, 4)) break;
+    int32_t block_size = rd_i32(bs4);
+    if (block_size < 32) break;
+    data.resize(block_size);
+    if (!r.read(data.data(), block_size)) break;
+    int32_t refid = rd_i32(data.data() + 0);
+    int32_t pos = rd_i32(data.data() + 4);
+    if (refid != tid) {
+      if (refid > tid) break;
+      continue;
+    }
+    if (pos >= end) break;
+    // reference span for overlap check
+    uint8_t l_read_name = data[8];
+    uint16_t n_cigar = rd_u16(data.data() + 12);
+    int32_t span = 0;
+    size_t cig_off = 32 + l_read_name;
+    if (cig_off + 4ull * n_cigar <= (size_t)block_size) {
+      for (uint16_t i = 0; i < n_cigar; ++i) {
+        uint32_t v = rd_u32(data.data() + cig_off + 4ull * i);
+        uint32_t op = v & 0xf, len = v >> 4;
+        if (op == 0 || op == 2 || op == 3 || op == 7 || op == 8) span += (int32_t)len;
+      }
+    }
+    if (pos + std::max(span, 1) <= start) continue;
+    w.write(bs4, 4);
+    w.write(data.data(), block_size);
+    ++written;
+  }
+  if (!w.close()) return -6;
+  return written;
+}
+
+}  // extern "C"

@@ -139,6 +139,32 @@ def knn_squared(z, k: int, row_valid=None, row_block: int = 512):
     return sq_dists.reshape(n_pad, k)[:n], idx.reshape(n_pad, k)[:n]
 
 
+def knn_squared_pallas(z, mask, region_mask, zmax: float, k: int, row_valid=None,
+                       tile_m: int = 256, tile_r: int = 512, interpret: bool = False):
+    """Fused-prep kNN: the clip/zero z-preparation happens inside the Gram
+    matmul tiles (grid_tpu.ops.pallas_kernels.zprep_gram), so the prepared
+    matrix never round-trips HBM. Semantics identical to
+    ``knn_squared(prepare_z(z, mask, zmax, region_mask), k, ...)``.
+    """
+    from grid_tpu.ops.pallas_kernels import zprep_gram
+
+    n = z.shape[0]
+    if k > n - 1:
+        raise ValueError(f"k={k} must be <= N-1={n - 1}")
+    g = zprep_gram(z, mask, region_mask, zmax, tile_m=tile_m, tile_r=tile_r,
+                   interpret=interpret)
+    sq_norms = jnp.diagonal(g)
+    d2 = sq_norms[:, None] + sq_norms[None, :] - 2 * g
+    d2 = jnp.maximum(d2, 0)
+    big = jnp.asarray(jnp.finfo(d2.dtype).max, dtype=d2.dtype)
+    eye = jnp.eye(n, dtype=bool)
+    d2 = jnp.where(eye, big, d2)
+    if row_valid is not None:
+        d2 = jnp.where(~jnp.asarray(row_valid, dtype=bool)[None, :], big, d2)
+    neg, idx = jax.lax.top_k(-d2, k)
+    return -neg, idx
+
+
 def knn_squared_host(z, k: int):
     """Reference-fidelity host implementation (float64 numpy) used by parity
     tests: exact pairwise distances, self-excluded, ascending with

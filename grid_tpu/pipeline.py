@@ -91,6 +91,10 @@ def run_wgs_pipeline(console=None, config=None, validate: bool = True):
     if validate:
         error_check_config(config_data, console)
     config_data = apply_defaults(config_data)
+
+    from grid_tpu.utils.device import enable_compilation_cache
+
+    enable_compilation_cache(config_data.get("device", {}).get("compilation_cache"))
     Path(config_data.get("output_dir", ".")).mkdir(parents=True, exist_ok=True)
 
     timer = StepTimer()

@@ -14,6 +14,7 @@ import jax.numpy as jnp
 
 from grid_tpu.io.formats import read_counts_tsv, read_neighbors, neighbors_filename, write_dipcn
 from grid_tpu.ops.dipcn import compute_dipcn
+from grid_tpu.utils.device import step_device
 from grid_tpu.utils.logging import log
 
 
@@ -68,13 +69,14 @@ def compute_diploid_genotypes(config, console=None):
         log(console, f"Saved 0 samples → {output_file}", style="success")
         return output_file
 
-    dip, valid = compute_dipcn(
-        jnp.asarray(rnorm),
-        jnp.asarray(sample_valid),
-        jnp.asarray(nbr_contrib),
-        jnp.asarray(nbr_usable),
-        n_nbr=n_nbr,
-    )
+    with step_device(config, nbr_contrib.size):
+        dip, valid = compute_dipcn(
+            jnp.asarray(rnorm),
+            jnp.asarray(sample_valid),
+            jnp.asarray(nbr_contrib),
+            jnp.asarray(nbr_usable),
+            n_nbr=n_nbr,
+        )
     dip, valid = np.asarray(dip), np.asarray(valid)
 
     if missing_ids:

@@ -30,6 +30,7 @@ from grid_tpu.ops.phasing import (
     phase_gauss_seidel_host,
     phase_haplotypes,
 )
+from grid_tpu.utils.device import step_device
 from grid_tpu.utils.logging import log
 from grid_tpu.utils.timing import step_timer
 
@@ -88,19 +89,20 @@ def hi_inference(config, console=None):
             hap_irrs = np.asarray(hap_irrs)
         else:
             nbr_idx, nbr_w, nbr_valid = pad_hap_neighbors(hap_nbrs, max_nbr, dtype=np.float64)
-            res = phase_haplotypes(
-                jnp.asarray(np.asarray(irrs)),
-                jnp.asarray(nbr_idx),
-                jnp.asarray(nbr_w),
-                jnp.asarray(nbr_valid),
-                min_nbr=min_nbr,
-                n_iters=n_iters,
-            )
-            imp = np.asarray(
-                compute_imputed(res.hap_irrs, jnp.asarray(nbr_idx), jnp.asarray(nbr_w),
-                                jnp.asarray(nbr_valid), res.mean_irrs)
-            )
-            hap_irrs = np.asarray(res.hap_irrs)
+            with step_device(config, n_iters * nbr_idx.size):
+                res = phase_haplotypes(
+                    jnp.asarray(np.asarray(irrs)),
+                    jnp.asarray(nbr_idx),
+                    jnp.asarray(nbr_w),
+                    jnp.asarray(nbr_valid),
+                    min_nbr=min_nbr,
+                    n_iters=n_iters,
+                )
+                imp = np.asarray(
+                    compute_imputed(res.hap_irrs, jnp.asarray(nbr_idx), jnp.asarray(nbr_w),
+                                    jnp.asarray(nbr_valid), res.mean_irrs)
+                )
+                hap_irrs = np.asarray(res.hap_irrs)
 
     write_haploid_output(
         output_file,

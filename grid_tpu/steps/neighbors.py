@@ -13,6 +13,7 @@ import jax.numpy as jnp
 
 from grid_tpu.io.formats import neighbors_filename, read_normalized_data, write_neighbors
 from grid_tpu.ops.knn import filter_regions_by_variance, knn_squared, prepare_z
+from grid_tpu.utils.device import step_device
 from grid_tpu.utils.logging import log
 from grid_tpu.utils.timing import step_timer
 
@@ -35,19 +36,19 @@ def find_neighbors(config, console=None):
     n = len(sample_ids)
 
     valid_indices, r_use = filter_regions_by_variance(sigma2ratios, frac_r, sigma2_max)
-    removed = len(sigma2ratios) - np.sum(np.isfinite(sigma2ratios[valid_indices])) if len(valid_indices) else 0
     extreme = int(np.sum(sigma2ratios > sigma2_max))
     if extreme:
         log(console, f"Removed {extreme} / {len(sigma2ratios)} regions with sigma2ratio > {sigma2_max}", style="warning")
 
     with step_timer("neighbors.device", console=None):
         mask = ~np.isnan(data_matrix)
-        z = prepare_z(jnp.asarray(np.nan_to_num(data_matrix)), jnp.asarray(mask), zmax)
-        z = z[:, valid_indices]
-        k = min(n_neighbors, n - 1)
-        sq_dists, idx = knn_squared(z, k)
-        sq_dists = np.asarray(sq_dists)
-        idx = np.asarray(idx)
+        with step_device(config, data_matrix.size + data_matrix.shape[0] ** 2):
+            z = prepare_z(jnp.asarray(np.nan_to_num(data_matrix)), jnp.asarray(mask), zmax)
+            z = z[:, valid_indices]
+            k = min(n_neighbors, n - 1)
+            sq_dists, idx = knn_squared(z, k)
+            sq_dists = np.asarray(sq_dists)
+            idx = np.asarray(idx)
 
     r_use_div = max(r_use, 1)  # guard (ref: find_neighbors.py:258-259)
     nbr_ids = [[sample_ids[j] for j in idx[i]] for i in range(n)]
