@@ -114,7 +114,7 @@ STEP_SCHEMA = [
 DEVICE_SCHEMA = [
     {"path": ("device", "dtype"), "default": "float32"},
     {"path": ("device", "mesh_shape"), "default": None},  # e.g. [8] or [4, 2]
-    {"path": ("device", "fused"), "default": True},  # run steps 4-7 as one jitted step
+    {"path": ("device", "fused"), "default": False},  # steps 4-7 as one device program
     {"path": ("device", "exact_phasing"), "default": False},  # host Gauss-Seidel parity mode
 ]
 

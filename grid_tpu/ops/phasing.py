@@ -182,3 +182,50 @@ def compute_imputed_host(i, hap_irrs, hap_nbrs, mean_irrs):
     if wsum[1] <= 1e-9:
         imp1 = mean_irrs / 2
     return imp0, imp1
+
+
+# ------------------------------------------------------------- bootstrap ---
+
+
+@partial(jax.jit, static_argnames=("min_nbr", "n_iters", "n_boot"))
+def phase_bootstrap(key, irrs, nbr_idx, nbr_w, nbr_valid, min_nbr: int, n_iters: int,
+                    n_boot: int = 100):
+    """Bootstrap uncertainty for the haplotype estimates, vmapped over
+    replicates (the TPU-native answer to "how stable is this phasing?").
+
+    Each replicate resamples every haplotype's neighbor list with
+    replacement (within its own valid slots — pad_hap_neighbors stores valid
+    entries as a prefix, so slot j < degree is always a real neighbor) and
+    reruns the full n_iters phasing. All replicates execute as ONE vmapped
+    program: the sweep's gathers and reductions batch across the replicate
+    axis, so B bootstraps cost barely more than one on the MXU/VPU.
+
+    Args:
+        key: jax PRNG key.
+        (rest as :func:`phase_haplotypes`)
+        n_boot: number of bootstrap replicates.
+
+    Returns:
+        hap_mean: [2N] mean over replicates (NaN where never phased).
+        hap_std: [2N] standard deviation over replicates.
+        hap_boot: [n_boot, 2N] raw replicate estimates.
+    """
+    irrs = jnp.asarray(irrs)
+    nbr_idx = jnp.asarray(nbr_idx)
+    nbr_w = jnp.asarray(nbr_w)
+    nbr_valid = jnp.asarray(nbr_valid, dtype=bool)
+    deg = jnp.sum(nbr_valid, axis=1)  # [2N]
+
+    def one(k):
+        slots = jax.random.randint(
+            k, nbr_idx.shape, 0, jnp.maximum(deg, 1)[:, None]
+        )
+        bi = jnp.take_along_axis(nbr_idx, slots, axis=1)
+        bw = jnp.take_along_axis(nbr_w, slots, axis=1)
+        # validity (and thus the min_nbr gate) is degree-preserving
+        res = phase_haplotypes(irrs, bi, bw, nbr_valid, min_nbr, n_iters)
+        return res.hap_irrs
+
+    keys = jax.random.split(key, n_boot)
+    hap_boot = jax.vmap(one)(keys)  # [B, 2N]
+    return jnp.mean(hap_boot, axis=0), jnp.std(hap_boot, axis=0), hap_boot

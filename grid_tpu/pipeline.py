@@ -143,18 +143,29 @@ def run_wgs_pipeline(console=None, config=None, validate: bool = True):
 
     gated(config_data.get("count_reads", {}), "count_reads", count_reads)
     gated(config_data.get("mosdepth", {}), "mosdepth", compute_mosdepth)
-    gated(config_data.get("mosdepth", {}).get("normalize", {}), "normalize", normalize_mosdepth)
-    gated(config_data.get("mosdepth", {}).get("neighbors", {}), "neighbors", find_neighbors)
-    gated(
-        config_data.get("compute_diploid_genotypes", {}),
-        "compute_diploid_genotypes",
-        compute_diploid_genotypes,
-    )
-    gated(
-        config_data.get("compute_haploid_genotypes", {}),
-        "compute_haploid_genotypes",
-        hi_inference,
-    )
+
+    from grid_tpu.steps.fused import fused_steps_enabled, run_fused_steps
+
+    if fused_steps_enabled(config_data):
+        # steps 4-7 as one staged ingest + one fused device program
+        try:
+            with step_timer("fused_steps_4_7", timer, console):
+                run_fused_steps(config_data, console, timer)
+        except Exception as e:
+            log(console, f"Failed to run fused steps 4-7: {e}", style="danger")
+    else:
+        gated(config_data.get("mosdepth", {}).get("normalize", {}), "normalize", normalize_mosdepth)
+        gated(config_data.get("mosdepth", {}).get("neighbors", {}), "neighbors", find_neighbors)
+        gated(
+            config_data.get("compute_diploid_genotypes", {}),
+            "compute_diploid_genotypes",
+            compute_diploid_genotypes,
+        )
+        gated(
+            config_data.get("compute_haploid_genotypes", {}),
+            "compute_haploid_genotypes",
+            hi_inference,
+        )
 
     try:
         timer.dump(Path(config_data.get("output_dir", ".")) / "step_timings.json")

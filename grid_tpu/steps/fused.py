@@ -1,0 +1,177 @@
+"""Fused execution of pipeline steps 4-7.
+
+With ``device: {fused: true}`` the orchestrator replaces the four separate
+normalize -> neighbors -> dipCN -> haploid steps (each re-reading the
+previous step's gzipped TSV) with ONE staged ingest + ONE fused device
+program (`grid_tpu.models.cohort.cohort_step`), then writes all four
+artifacts from the device outputs. Same formats, one XLA program, no
+intermediate file round-trips.
+
+Known divergences from the file-by-file path (both within the parity
+tolerance contract, docs/parity.md):
+
+- phasing is Jacobi-ordered (the file path's default too; use
+  ``exact_phasing`` with the step pipeline for byte parity);
+- a haplotype-neighbor line referencing a sample that would have been
+  dropped from the dipCN file consumes a max_neighbors slot here (its
+  contribution is masked instead of the line being skipped).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from grid_tpu.io.bed import load_repeat_mask
+from grid_tpu.io.formats import (
+    neighbors_filename,
+    read_counts_tsv,
+    read_samples,
+    write_dipcn,
+    write_haploid_output,
+    write_neighbors,
+    write_normalized_output,
+)
+from grid_tpu.io.hap_neighbors import (
+    load_ibd_neighbors,
+    load_ibs_neighbors,
+    pad_hap_neighbors,
+)
+from grid_tpu.io.staging import stage_cohort
+from grid_tpu.models.cohort import CohortParams, cohort_step
+from grid_tpu.utils.device import step_device
+from grid_tpu.utils.logging import log
+from grid_tpu.utils.timing import step_timer
+
+
+def fused_steps_enabled(config: dict) -> bool:
+    """True when the fused path can replace steps 4-7."""
+    if not config.get("device", {}).get("fused", False):
+        return False
+    if config.get("device", {}).get("exact_phasing", False):
+        return False  # byte-parity mode needs the sequential step pipeline
+    m = config.get("mosdepth", {})
+    return all(
+        section.get("run") is True
+        for section in (
+            m.get("normalize", {}),
+            m.get("neighbors", {}),
+            config.get("compute_diploid_genotypes", {}),
+            config.get("compute_haploid_genotypes", {}),
+        )
+    )
+
+
+def run_fused_steps(config, console=None, timer=None):
+    """Stage once, run the fused cohort step, write all four artifacts."""
+    chrom = config.get("chrom")
+    start = config.get("start_bp")
+    end = config.get("end_bp")
+    threads = config.get("threads", 1)
+    output_dir = config.get("output_dir", ".")
+    out_type = config.get("output_file_type", "tsv")
+
+    m = config["mosdepth"]
+    ncfg = m["normalize"]
+    kcfg = m["neighbors"]
+    dcfg = config["compute_diploid_genotypes"]
+    hcfg = config["compute_haploid_genotypes"]
+
+    with step_timer("fused.stage", timer, None):
+        samples = read_samples(config["samples_file"])
+        excluded = load_repeat_mask(ncfg.get("repeat_mask_file")) if ncfg.get("repeat_mask_file") else {}
+        stage = stage_cohort(
+            m.get("work_dir"), samples, chrom, start, end, excluded,
+            ncfg.get("min_depth", 20), ncfg.get("max_depth", 100), threads, console,
+        )
+        counts_file = Path(output_dir) / f"{config['count_reads'].get('output_file_prefix')}.{out_type}"
+        reads_map = read_counts_tsv(counts_file)
+        n = len(stage.sample_ids)
+        reads = np.array([reads_map.get(sid, np.nan) for sid in stage.sample_ids])
+        reads_valid = np.array([sid in reads_map for sid in stage.sample_ids])
+
+        id_to_ind = {sid: i for i, sid in enumerate(stage.sample_ids)}
+        max_nbr = hcfg.get("max_neighbors", 10)
+        method = str(hcfg.get("method", "ibs")).lower()
+        if method == "ibs":
+            hap_nbrs = load_ibs_neighbors(hcfg["ibs_output"], id_to_ind, max_nbr)
+        elif method == "ibd":
+            hap_nbrs = load_ibd_neighbors(
+                hcfg["ibd_output"], id_to_ind, max_nbr, start, end,
+                min_length=hcfg.get("min_length", 0.5),
+                min_match=hcfg.get("min_match", 0.70),
+                weighted=hcfg.get("weighted", False),
+                weight_scale=hcfg.get("weight_scale", 1_000_000),
+            )
+        else:
+            raise ValueError(f"unknown method '{method}'")
+        hi, hw, hv = pad_hap_neighbors(hap_nbrs, max_nbr, dtype=np.float64)
+
+    params = CohortParams(
+        top_frac=ncfg.get("top_frac", 0.1),
+        zmax=kcfg.get("zmax", 2.0),
+        sigma2_max=kcfg.get("sigma2_max", 1000.0),
+        frac_r=kcfg.get("frac_r", 1.0),
+        num_neighbors=min(kcfg.get("num_neighbors", 500), n - 1),
+        n_nbr=dcfg.get("n_nbr", 300),
+        min_nbr=hcfg.get("min_neighbors", 1),
+        n_iters=hcfg.get("n_iters", 100),
+        quantize=True,
+        use_pallas=bool(config.get("device", {}).get("use_pallas", False)),
+    )
+
+    with step_timer("fused.device", timer, None):
+        with step_device(config, stage.values.size + n * n):
+            out = cohort_step(
+                jnp.asarray(stage.values), jnp.asarray(stage.mask),
+                jnp.asarray(reads), jnp.asarray(reads_valid),
+                jnp.asarray(hi), jnp.asarray(hw), jnp.asarray(hv), params,
+            )
+            out = jax.tree.map(np.asarray, out)
+
+    with step_timer("fused.write", timer, None):
+        # step 4 artifact
+        selected_idx = np.where(out.region_selected)[0]
+        norm_path = Path(output_dir) / f"{ncfg.get('output_file_prefix')}.{out_type}.gz"
+        write_normalized_output(
+            norm_path, stage.sample_ids, out.scales, out.z, out.z_mask,
+            out.col_means, out.col_vars, selected_idx,
+        )
+
+        # step 5 artifact
+        zmax = params.zmax
+        nbr_path = neighbors_filename(output_dir, kcfg.get("output_file_prefix"), zmax, out_type)
+        r_use = max(int(out.r_use), 1)
+        scales_by_row = out.scales
+        nbr_ids = [[stage.sample_ids[j] for j in out.nbr_idx[i]] for i in range(n)]
+        nbr_scales = [[scales_by_row[j] for j in out.nbr_idx[i]] for i in range(n)]
+        nbr_dists = [list(out.nbr_sq_dists[i] / (2 * r_use)) for i in range(n)]
+        write_neighbors(nbr_path, stage.sample_ids, list(scales_by_row), nbr_ids, nbr_scales, nbr_dists)
+
+        # step 6 artifact
+        dip_path = Path(output_dir) / f"{dcfg.get('output_file_prefix')}.{out_type}"
+        valid = out.dipcn_valid.astype(bool)
+        write_dipcn(
+            dip_path,
+            [sid for i, sid in enumerate(stage.sample_ids) if valid[i]],
+            [float(out.dipcn[i]) for i in range(n) if valid[i]],
+        )
+
+        # step 7 artifact (rows = dipCN-valid samples, like the file path)
+        hap_path = Path(output_dir) / f"{hcfg.get('output_file_prefix')}.{out_type}"
+        vidx = np.where(valid)[0]
+        write_haploid_output(
+            hap_path,
+            [stage.sample_ids[i] for i in vidx],
+            [float(out.dipcn[i]) for i in vidx],
+            out.hap_irrs[2 * vidx],
+            out.hap_irrs[2 * vidx + 1],
+            out.hap_imp[2 * vidx],
+            out.hap_imp[2 * vidx + 1],
+        )
+
+    log(console, f"Fused steps 4-7 complete → {output_dir}", style="success")
+    return [norm_path, nbr_path, dip_path, hap_path]

@@ -1,0 +1,100 @@
+"""Fused steps 4-7 vs the file-by-file pipeline on the same cohort."""
+
+import copy
+
+import numpy as np
+import pytest
+
+from grid_tpu.io.formats import read_dipcn, read_neighbors, read_normalized_data
+from grid_tpu.pipeline import run_wgs_pipeline
+from grid_tpu.synth import make_synthetic_cohort
+
+
+@pytest.fixture(scope="module")
+def both_runs(tmp_path_factory):
+    base = tmp_path_factory.mktemp("fused")
+    cohort = make_synthetic_cohort(base / "cohort", n_samples=15, seed=21, missing_frac=0.02)
+
+    file_cfg = copy.deepcopy(cohort["config"])
+    file_out = base / "file_results"
+    file_out.mkdir()
+    file_cfg["output_dir"] = str(file_out)
+    (file_out / "read_counts.tsv").write_bytes(cohort["counts_file"].read_bytes())
+    t_file = run_wgs_pipeline(console=None, config=file_cfg)
+
+    fused_cfg = copy.deepcopy(cohort["config"])
+    fused_out = base / "fused_results"
+    fused_out.mkdir()
+    fused_cfg["output_dir"] = str(fused_out)
+    fused_cfg["device"] = {"fused": True}
+    (fused_out / "read_counts.tsv").write_bytes(cohort["counts_file"].read_bytes())
+    t_fused = run_wgs_pipeline(console=None, config=fused_cfg)
+
+    return cohort, file_out, fused_out, t_file, t_fused
+
+
+def test_fused_mode_engaged(both_runs):
+    _, _, _, t_file, t_fused = both_runs
+    assert "normalize" in t_file and "fused_steps_4_7" in t_fused
+    assert "normalize" not in t_fused
+
+
+def test_fused_artifacts_exist(both_runs):
+    _, _, fused_out, _, _ = both_runs
+    for name in (
+        "mosdepth_results_normalized.tsv.gz",
+        "neighbor_coverage.zMax2.0.tsv.gz",
+        "diploid_genotypes.tsv",
+        "haploid_genotypes.tsv",
+    ):
+        assert (fused_out / name).exists(), name
+
+
+def test_fused_normalized_matches_file_mode(both_runs):
+    _, file_out, fused_out, _, _ = both_runs
+    f_ids, f_ratio, f_mat, f_scales = read_normalized_data(
+        file_out / "mosdepth_results_normalized.tsv.gz"
+    )
+    g_ids, g_ratio, g_mat, g_scales = read_normalized_data(
+        fused_out / "mosdepth_results_normalized.tsv.gz"
+    )
+    assert f_ids == g_ids
+    np.testing.assert_allclose(g_ratio, f_ratio, rtol=1e-9)
+    np.testing.assert_array_equal(np.isnan(g_mat), np.isnan(f_mat))
+    np.testing.assert_allclose(
+        g_mat[~np.isnan(g_mat)], f_mat[~np.isnan(f_mat)], atol=0.01001
+    )
+    assert f_scales == g_scales
+
+
+def test_fused_neighbors_match(both_runs):
+    _, file_out, fused_out, _, _ = both_runs
+    f_nbrs, _ = read_neighbors(file_out / "neighbor_coverage.zMax2.0.tsv.gz")
+    g_nbrs, _ = read_neighbors(fused_out / "neighbor_coverage.zMax2.0.tsv.gz")
+    assert set(f_nbrs) == set(g_nbrs)
+    for sid in f_nbrs:
+        assert {n for n, _, _ in f_nbrs[sid]} == {n for n, _, _ in g_nbrs[sid]}
+
+
+def test_fused_dipcn_matches(both_runs):
+    _, file_out, fused_out, _, _ = both_runs
+    f_ids, f_vals, _ = read_dipcn(file_out / "diploid_genotypes.tsv")
+    g_ids, g_vals, _ = read_dipcn(fused_out / "diploid_genotypes.tsv")
+    assert f_ids == g_ids
+    np.testing.assert_allclose(g_vals, f_vals, rtol=1e-6)
+
+
+def test_fused_haploid_close_to_file_mode(both_runs):
+    # same Jacobi phasing in both paths -> outputs agree (both via %.2f)
+    _, file_out, fused_out, _, _ = both_runs
+    f_lines = (file_out / "haploid_genotypes.tsv").read_text().splitlines()
+    g_lines = (fused_out / "haploid_genotypes.tsv").read_text().splitlines()
+    assert len(f_lines) == len(g_lines)
+    for fl, gl in zip(f_lines[1:], g_lines[1:]):
+        fp, gp = fl.split("\t"), gl.split("\t")
+        assert fp[0] == gp[0]
+        for a, b in zip(fp[1:], gp[1:]):
+            if a == "nan" or b == "nan":
+                assert a == b
+            else:
+                assert abs(float(a) - float(b)) <= 0.01001

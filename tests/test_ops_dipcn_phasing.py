@@ -153,3 +153,44 @@ def test_imputation_matches_host(rng):
         ref0, ref1 = compute_imputed_host(i, ref_hap, hap_nbrs, ref_mean)
         np.testing.assert_allclose(imp[2 * i], ref0, rtol=1e-9)
         np.testing.assert_allclose(imp[2 * i + 1], ref1, rtol=1e-9)
+
+
+def test_phase_bootstrap(rng):
+    import jax
+
+    from grid_tpu.ops.phasing import phase_bootstrap
+
+    n, max_nbr = 10, 4
+    irrs = rng.uniform(1.5, 3.5, size=n)
+    hap_nbrs = _random_hap_nbrs(rng, n, max_nbr, p_empty=0.1)
+    nbr_idx, nbr_w, nbr_valid = pad_hap_neighbors(hap_nbrs, max_nbr, dtype=np.float64)
+
+    mean, std, boot = phase_bootstrap(
+        jax.random.PRNGKey(0), jnp.asarray(irrs), jnp.asarray(nbr_idx),
+        jnp.asarray(nbr_w), jnp.asarray(nbr_valid), min_nbr=1, n_iters=30,
+        n_boot=16,
+    )
+    mean, std, boot = np.asarray(mean), np.asarray(std), np.asarray(boot)
+    assert boot.shape == (16, 2 * n)
+
+    # point estimate for comparison
+    from grid_tpu.ops import phase_haplotypes
+
+    point = np.asarray(
+        phase_haplotypes(
+            jnp.asarray(irrs), jnp.asarray(nbr_idx), jnp.asarray(nbr_w),
+            jnp.asarray(nbr_valid), 1, 30,
+        ).hap_irrs
+    )
+    phased_mask = ~np.isnan(point)
+    # same haps phased in every replicate (the min_nbr gate is degree-based)
+    assert (np.isnan(boot) == ~phased_mask[None, :]).all()
+    # bootstrap spread is finite and mean is in a plausible range
+    assert np.isfinite(std[phased_mask]).all()
+    assert np.isfinite(mean[phased_mask]).all()
+    # hap pairs still sum to the IRR in every replicate
+    hb = boot[:, phased_mask].reshape(16, -1)
+    pair_sums = boot.reshape(16, n, 2).sum(axis=2)
+    for b in range(16):
+        ok = ~np.isnan(pair_sums[b])
+        np.testing.assert_allclose(pair_sums[b][ok], irrs[ok], rtol=1e-6)

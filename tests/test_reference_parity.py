@@ -135,3 +135,81 @@ def test_haploid_parity_exact_mode(dual_run):
     # exact_phasing reproduces the reference's Gauss-Seidel ordering, so the
     # files must be IDENTICAL
     assert ref_lines == tpu_lines
+
+
+def test_haploid_ibd_weighted_parity(tmp_path, reference_modules, dual_run):
+    """IBD method (iLASH input) with Lorentzian weighting: grid_tpu's exact
+    mode vs the reference, byte-for-byte, reusing the dipCN artifact."""
+    import shutil
+
+    ref_out, tpu_out = dual_run
+    # both read the same dipCN file; give each its own output dir
+    ref_dir = tmp_path / "ref"
+    tpu_dir = tmp_path / "tpu"
+    ref_dir.mkdir()
+    tpu_dir.mkdir()
+    shutil.copy(ref_out / "diploid_genotypes.tsv", ref_dir / "diploid_genotypes.tsv")
+    shutil.copy(ref_out / "diploid_genotypes.tsv", tpu_dir / "diploid_genotypes.tsv")
+
+    # fabricate an iLASH file over the dipCN sample IDs
+    from grid_tpu.io.formats import read_dipcn
+
+    ids, _, _ = read_dipcn(ref_dir / "diploid_genotypes.tsv")
+    ibd = tmp_path / "segments.tsv"
+    with open(ibd, "w") as f:
+        for i in range(len(ids)):
+            j = (i + 1) % len(ids)
+            k = (i + 3) % len(ids)
+            f.write(
+                f"{ids[i]}\t{ids[i]}_0\t{ids[j]}\t{ids[j]}_1\t6\t160500000\t160700000\t0\t0\t"
+                f"{2.0 + 0.1 * i}\t0.93\n"
+            )
+            f.write(
+                f"{ids[i]}\t{ids[i]}_1\t{ids[k]}\t{ids[k]}_0\t6\t160300000\t160550000\t0\t0\t"
+                f"{1.1 + 0.05 * i}\t0.88\n"
+            )
+            # a segment failing the min_match filter
+            f.write(
+                f"{ids[i]}\t{ids[i]}_0\t{ids[k]}\t{ids[k]}_1\t6\t160500000\t160600000\t0\t0\t"
+                f"5.0\t0.10\n"
+            )
+
+    base_cfg = {
+        "output_file_type": "tsv",
+        "start_bp": 160_605_062,
+        "end_bp": 160_647_661,
+        "compute_diploid_genotypes": {"output_file_prefix": "diploid_genotypes"},
+        "compute_haploid_genotypes": {
+            "run": True,
+            "output_file_prefix": "haploid_genotypes",
+            "method": "ibd",
+            "ibd_output": str(ibd),
+            "weighted": True,
+            "weight_scale": 1_000_000,
+            "min_length": 0.5,
+            "min_match": 0.70,
+            "min_neighbors": 1,
+            "max_neighbors": 4,
+            "n_iters": 60,
+        },
+    }
+
+    import copy
+
+    ref_cfg = copy.deepcopy(base_cfg)
+    ref_cfg["output_dir"] = str(ref_dir)
+    from grid_tpu.utils.logging import make_console
+
+    reference_modules["hi"](ref_cfg, make_console())
+
+    tpu_cfg = copy.deepcopy(base_cfg)
+    tpu_cfg["output_dir"] = str(tpu_dir)
+    tpu_cfg["device"] = {"exact_phasing": True}
+    from grid_tpu.steps.haploid import hi_inference
+
+    hi_inference(tpu_cfg, None)
+
+    assert (
+        (ref_dir / "haploid_genotypes.tsv").read_text()
+        == (tpu_dir / "haploid_genotypes.tsv").read_text()
+    )
