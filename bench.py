@@ -34,7 +34,17 @@ def make_matrix(n, r, seed=0):
     return values * mask, mask, reads
 
 
-def bench_device(values, mask, reads, k, n_nbr, iters=3):
+def _sync(x):
+    """True device sync: read a value back to the host.
+
+    ``jax.block_until_ready`` does not round-trip on remote/tunneled
+    backends (it can return once the work is enqueued), so timing loops
+    must force a transfer of computed data instead.
+    """
+    return np.asarray(x).ravel()[0]
+
+
+def bench_device(values, mask, reads, k, n_nbr, iters=20):
     import jax
     import jax.numpy as jnp
 
@@ -42,12 +52,8 @@ def bench_device(values, mask, reads, k, n_nbr, iters=3):
     from grid_tpu.io.hap_neighbors import pad_hap_neighbors
 
     n = values.shape[0]
-    # Pallas fused-prep kNN on TPU (1.5-1.6x over the XLA path); the N^2 Gram
-    # materializes in HBM, so cap it to cohorts that comfortably fit.
-    use_pallas = jax.default_backend() == "tpu" and n <= 32768
     params = CohortParams(
-        num_neighbors=k, n_nbr=n_nbr, n_iters=0, quantize=False, row_block=256,
-        use_pallas=use_pallas,
+        num_neighbors=k, n_nbr=n_nbr, n_iters=0, quantize=False, row_block=512,
     )
     fn = make_cohort_step(params)
 
@@ -65,17 +71,19 @@ def bench_device(values, mask, reads, k, n_nbr, iters=3):
         jnp.asarray(hv),
     )
 
-    # warmup/compile
+    # warmup/compile (synced by readback)
     out = fn(*args)
-    jax.block_until_ready(out.dipcn)
+    _sync(out.dipcn)
 
-    times = []
+    # steady-state throughput: enqueue `iters` steps, one true sync at the
+    # end; per-step time amortizes the per-dispatch RPC latency of remote
+    # backends, which is the honest production-throughput number.
+    t0 = time.perf_counter()
     for _ in range(iters):
-        t0 = time.perf_counter()
         out = fn(*args)
-        jax.block_until_ready(out.dipcn)
-        times.append(time.perf_counter() - t0)
-    return min(times), out
+    _sync(out.dipcn)
+    elapsed = (time.perf_counter() - t0) / iters
+    return elapsed, out
 
 
 def bench_cpu_reference(values, mask, reads, k, n_nbr):

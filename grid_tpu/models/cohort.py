@@ -52,7 +52,8 @@ class CohortParams(NamedTuple):
     n_iters: int = 100  # phasing sweeps
     quantize: bool = True  # mimic %.2f file round-trip of scales/z
     row_block: int = 512  # kNN panel rows
-    use_pallas: bool = False  # fused-prep Pallas kNN (TPU; N^2 Gram in HBM)
+    use_pallas: bool = False  # experimental Pallas kNN (slower than the
+    # XLA path under synchronized timing; see ops/pallas_kernels.py)
 
 
 class CohortOutputs(NamedTuple):

@@ -1,23 +1,24 @@
-"""Pallas TPU kernels for the hot paths.
+"""Pallas TPU kernels (experimental).
 
-Two fused kernels, each eliminating a full HBM round-trip that the unfused
-XLA graph would spend:
+Two fused kernels exploring HBM-round-trip elimination:
 
-- :func:`zprep_gram_panel` — kNN inner loop. Fuses the z preparation
-  (clip to ±zmax, zero-fill invalid cells, zero de-selected region columns)
-  INTO the Gram matmul tiles: the clipped matrix is never written to HBM;
-  each [TM, TR] / [TR, TN] tile is prepared in VMEM registers immediately
-  before hitting the MXU. For the N^2 R distance computation this removes
-  an N*R write + N*R read (2x the matrix footprint) per kNN call.
+- :func:`zprep_gram` — fuses the z preparation (clip to ±zmax, zero-fill
+  invalid cells, zero de-selected region columns) INTO the Gram matmul
+  tiles, so the prepared matrix never materializes in HBM.
+- :func:`masked_column_stats` — one-pass per-column (count, sum, sqdev)
+  with row-normalization applied on the fly.
 
-- :func:`masked_column_stats` — normalize statistics. One pass over the
-  row-sharded depth matrix producing per-column (count, sum, sum of squared
-  deviations) with the row-normalization applied on the fly, so the
-  row-normalized matrix also never materializes.
-
-Both kernels are shape-aligned to the MXU/VPU tiling (128-lane last dim)
-and are exercised in interpreter mode on CPU by the test suite; the real
-TPU path is enabled via ``use_pallas`` flags on the calling ops.
+STATUS / honest benchmarking note: with properly synchronized timing
+(device readback — ``block_until_ready`` does not round-trip on tunneled
+backends), the simple (i, j, r) tiling below is NOT competitive with XLA's
+matmul emitter: its HBM traffic is O(N^2 R / TILE_M) because row/col tiles
+are re-streamed per output tile, where XLA's blocked GEMM achieves far
+higher reuse. The prep fusion it buys is O(N R) — negligible next to the
+O(N^2 R) matmul. The production kNN path therefore uses XLA
+(grid_tpu.ops.knn.knn_squared); these kernels remain correctness-tested
+(interpret mode + real-TPU numerics) as kernel infrastructure for future
+work where custom fusion beats the compiler (e.g. fused distance+select
+without materializing d^2 row panels).
 """
 
 from __future__ import annotations
