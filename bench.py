@@ -45,7 +45,6 @@ def _sync(x):
 
 
 def bench_device(values, mask, reads, k, n_nbr, iters=20):
-    import jax
     import jax.numpy as jnp
 
     from grid_tpu.models.cohort import CohortParams, make_cohort_step

@@ -19,7 +19,6 @@ from __future__ import annotations
 
 import glob
 import os
-from pathlib import Path
 
 try:
     import pysam  # type: ignore

@@ -17,8 +17,6 @@ negligible next to the kNN ring).
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

@@ -18,8 +18,6 @@ re-top_k preserves ascending order and the low-index tie rule.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P

@@ -15,8 +15,6 @@ Semantics are identical to :func:`grid_tpu.ops.normalize.normalize_cohort`
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P

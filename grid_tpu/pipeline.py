@@ -23,8 +23,6 @@ import hashlib
 import json
 from pathlib import Path
 
-import yaml
-
 from grid_tpu.config import apply_defaults, error_check_config, load_config
 from grid_tpu.utils.logging import log
 from grid_tpu.utils.timing import StepTimer, step_timer

@@ -14,7 +14,7 @@ Two production concerns the reference never had:
 from __future__ import annotations
 
 import os
-from contextlib import contextmanager, nullcontext
+from contextlib import contextmanager
 from pathlib import Path
 
 # Workloads below this many matrix elements run on CPU under "auto".
