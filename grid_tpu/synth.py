@@ -160,16 +160,29 @@ def _make_cohort(
     mask_file = out / "repeat_mask.bed"
     mask_file.write_text(f"{chrom}\t1000000\t1002000\n")
 
-    # IBS neighbors: ring over haplotypes with 1-indexed haps
+    # IBS neighbors: each haplotype is matched to the haplotypes (of OTHER
+    # samples) with the closest true copy number — the structure real IBS
+    # sharing implies (shared haplotype => shared repeat allele). This makes
+    # end-to-end haploid-CN recovery a measurable property of the cohort.
+    flat_cn = hap_cn.reshape(-1)  # index h = 2*i + hap0
     ibs_file = out / "ibs_neighbors.tsv.gz"
     with gzip.open(ibs_file, "wt") as f:
         f.write("ID\thap\tnbrInd\tcMlen\tcMedge\tIDnbr\thapNbr\n")
         for i, sid in enumerate(ids):
-            for hap in (1, 2):
-                for step in (1, 2, 3):
-                    j = (i + step) % n_samples
-                    nbr_hap = 1 + ((hap + step) % 2)
-                    f.write(f"{sid}\t{hap}\t{j}\t2.5\t0.1\t{ids[j]}\t{nbr_hap}\n")
+            for hap0 in (0, 1):
+                h = 2 * i + hap0
+                order = np.argsort(np.abs(flat_cn - flat_cn[h]))
+                picked = 0
+                for g in order:
+                    if g // 2 == i:
+                        continue  # never own haplotypes
+                    j, nbr_hap0 = int(g // 2), int(g % 2)
+                    f.write(
+                        f"{sid}\t{hap0 + 1}\t{j}\t2.5\t0.1\t{ids[j]}\t{nbr_hap0 + 1}\n"
+                    )
+                    picked += 1
+                    if picked == 3:
+                        break
 
     # iLASH-format IBD segments between consecutive samples
     ibd_file = out / "ibd_segments.tsv"

@@ -123,3 +123,32 @@ def test_resume_skips_up_to_date_steps(cohort, tmp_path):
     assert "normalize" in t1
     t2 = run_wgs_pipeline(console=None, config=cfg)
     assert "normalize" not in t2  # skipped on the second run
+
+
+def test_haploid_concordance_with_truth(tmp_path):
+    """End-to-end haploid-CN recovery (the BASELINE concordance criterion):
+    with truth-correlated IBS neighbors, phased haplotype estimates must
+    track the planted per-haplotype copy numbers."""
+    cohort = make_synthetic_cohort(tmp_path, n_samples=24, seed=77)
+    run_wgs_pipeline(console=None, config=str(cohort["config_file"]))
+
+    hap_file = cohort["results_dir"] / "haploid_genotypes.tsv"
+    est = {}
+    for line in hap_file.read_text().splitlines()[1:]:
+        p = line.split("\t")
+        est[p[0]] = (float(p[2]), float(p[3]))
+
+    truth = {sid: tuple(cohort["hap_cn"][i]) for i, sid in enumerate(cohort["ids"])}
+    pairs = []
+    for sid in cohort["ids"]:
+        if sid in est and not (np.isnan(est[sid][0]) or np.isnan(est[sid][1])):
+            # hap estimates are in dipCN units (~CN/2 of cohort mean);
+            # compare the WITHIN-sample allocation: est ratio vs true ratio
+            e1, e2 = est[sid]
+            t1, t2 = truth[sid]
+            if e1 + e2 > 0:
+                pairs.append((e1 / (e1 + e2), t1 / (t1 + t2)))
+    assert len(pairs) >= 20
+    e, t = np.array(pairs).T
+    rho = np.corrcoef(e, t)[0, 1]
+    assert rho > 0.5, f"haplotype allocation correlation too low: {rho}"
