@@ -144,12 +144,11 @@ def validate_top_level(config, errors, warnings):
     for key, expected_type in REQUIRED_TOP_LEVEL.items():
         if key not in config:
             errors.append(f"Missing required field: '{key}'")
-        elif not isinstance(config[key], expected_type):
+        elif not isinstance(config[key], expected_type) or (
+            expected_type is int and isinstance(config[key], bool)
+        ):
             # bool is an int subclass; reject it for int fields explicitly
-            if expected_type is int and isinstance(config[key], bool):
-                errors.append(f"'{key}' must be int")
-            elif not isinstance(config[key], expected_type):
-                errors.append(f"'{key}' must be {expected_type.__name__}")
+            errors.append(f"'{key}' must be {expected_type.__name__}")
 
     for key in REQUIRED_FILES_TOP_LEVEL:
         val = config.get(key)

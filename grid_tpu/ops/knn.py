@@ -83,9 +83,10 @@ def prepare_z(z, mask, zmax: float, region_mask=None):
     return out
 
 
-@partial(jax.jit, static_argnames=("k", "row_block", "selector", "recall_target"))
+@partial(jax.jit, static_argnames=("k", "row_block", "selector", "recall_target", "col_block"))
 def knn_squared(z, k: int, row_valid=None, row_block: int = 512,
-                selector: str = "approx", recall_target: float = 1.0):
+                selector: str = "approx", recall_target: float = 1.0,
+                col_block: int | None = None):
     """Exact k-nearest-neighbor search by blocked MXU matmul.
 
     Args:
@@ -100,6 +101,11 @@ def knn_squared(z, k: int, row_valid=None, row_block: int = 512,
             default ``recall_target=1.0`` it aggregates to an exact top-k
             (measured 100% set agreement). "top_k" forces ``lax.top_k``.
         recall_target: recall for the approx selector (1.0 = exact).
+        col_block: two-stage selection width. Selection over very wide
+            panels is the large-N bottleneck; splitting the N columns into
+            blocks, selecting k per block, and exact-merging the candidates
+            measured ~2x faster at N=65536 (8192 beat flat selection).
+            None = auto: flat below 16384 columns, 8192-wide blocks above.
 
     Returns:
         sq_dists: [N, k] squared Euclidean distances, ascending.
@@ -110,6 +116,10 @@ def knn_squared(z, k: int, row_valid=None, row_block: int = 512,
         raise ValueError(f"k={k} must be <= N-1={n - 1}")
     if selector not in ("approx", "top_k"):
         raise ValueError(f"unknown selector {selector!r}")
+    if col_block is None and n > 16384:
+        col_block = 8192
+    if col_block is not None and (col_block >= n or n % col_block != 0 or col_block <= k):
+        col_block = None  # fall back to flat selection for awkward shapes
 
     sq_norms = jnp.sum(z * z, axis=1)  # [N]
     col_invalid = None if row_valid is None else ~jnp.asarray(row_valid, dtype=bool)
@@ -135,6 +145,20 @@ def knn_squared(z, k: int, row_valid=None, row_block: int = 512,
         d2 = jnp.where(rows == cols, big, d2)
         if col_invalid is not None:
             d2 = jnp.where(col_invalid[None, :], big, d2)
+        if col_block is not None:
+            # two-stage: select k per column block, exact-merge candidates
+            b = d2.shape[0]
+            ncb = n // col_block
+            d3 = d2[:, : ncb * col_block].reshape(b, ncb, col_block)
+            if selector == "approx":
+                neg, idx = jax.lax.approx_max_k(-d3, k, recall_target=recall_target)
+            else:
+                neg, idx = jax.lax.top_k(-d3, k)
+            base = (jnp.arange(ncb, dtype=jnp.int32) * col_block)[None, :, None]
+            cand_d = (-neg).reshape(b, ncb * k)
+            cand_i = (idx + base).reshape(b, ncb * k)
+            neg2, pos = jax.lax.top_k(-cand_d, k)
+            return carry, (-neg2, jnp.take_along_axis(cand_i, pos, axis=1))
         if selector == "approx":
             neg, idx = jax.lax.approx_max_k(-d2, k, recall_target=recall_target)
         else:

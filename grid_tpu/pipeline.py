@@ -144,14 +144,20 @@ def run_wgs_pipeline(console=None, config=None, validate: bool = True):
 
     from grid_tpu.steps.fused import fused_steps_enabled, run_fused_steps
 
+    fused_done = False
     if fused_steps_enabled(config_data):
         # steps 4-7 as one staged ingest + one fused device program
         try:
             with step_timer("fused_steps_4_7", timer, console):
                 run_fused_steps(config_data, console, timer)
+            fused_done = True
         except Exception as e:
-            log(console, f"Failed to run fused steps 4-7: {e}", style="danger")
-    else:
+            log(
+                console,
+                f"Fused steps 4-7 failed ({e}); falling back to sequential steps",
+                style="warning",
+            )
+    if not fused_done:
         gated(config_data.get("mosdepth", {}).get("normalize", {}), "normalize", normalize_mosdepth)
         gated(config_data.get("mosdepth", {}).get("neighbors", {}), "neighbors", find_neighbors)
         gated(

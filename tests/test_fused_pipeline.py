@@ -98,3 +98,24 @@ def test_fused_haploid_close_to_file_mode(both_runs):
                 assert a == b
             else:
                 assert abs(float(a) - float(b)) <= 0.01001
+
+
+def test_fused_failure_falls_back_to_sequential(tmp_path):
+    """When fused staging fails (e.g. counts file missing at fused-stage
+    time but present later... simulate via bad work_dir), the pipeline must
+    fall back to the sequential steps rather than skipping 4-7."""
+    import copy
+
+    cohort = make_synthetic_cohort(tmp_path / "c", n_samples=8, seed=4)
+    cfg = copy.deepcopy(cohort["config"])
+    out = tmp_path / "out"
+    out.mkdir()
+    cfg["output_dir"] = str(out)
+    cfg["device"] = {"fused": True}
+    # fused stage reads counts from output_dir; do NOT copy the counts file:
+    # the fused path raises, the sequential path then runs steps 4+5 (which
+    # don't need counts) and fails only 6/7 per-step (reference semantics).
+    timings = run_wgs_pipeline(console=None, config=cfg)
+    assert "fused_steps_4_7" not in timings or "normalize" in timings
+    assert (out / "mosdepth_results_normalized.tsv.gz").exists()
+    assert (out / "neighbor_coverage.zMax2.0.tsv.gz").exists()

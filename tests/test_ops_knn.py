@@ -88,3 +88,20 @@ def test_knn_host_matches_device(rng):
     hd2, hidx = knn_squared_host(z, 7)
     dd2, didx = knn_squared(jnp.asarray(z), 7, row_block=16)
     np.testing.assert_allclose(np.asarray(dd2), hd2, rtol=1e-9, atol=1e-9)
+
+
+def test_knn_two_stage_col_block_matches_flat(rng):
+    z = rng.normal(size=(64, 12))
+    ref_d, ref_i = knn_squared(jnp.asarray(z), 9, row_block=16, col_block=None)
+    d, i = knn_squared(jnp.asarray(z), 9, row_block=16, col_block=16)
+    np.testing.assert_allclose(np.asarray(d), np.asarray(ref_d), rtol=1e-12)
+    for row in range(64):
+        assert set(np.asarray(i)[row].tolist()) == set(np.asarray(ref_i)[row].tolist())
+
+
+def test_knn_col_block_awkward_shapes_fall_back(rng):
+    z = rng.normal(size=(30, 6))
+    # col_block not dividing N, or <= k: silently falls back to flat
+    d, i = knn_squared(jnp.asarray(z), 5, row_block=16, col_block=7)
+    ref_d, _ = knn_squared(jnp.asarray(z), 5, row_block=16)
+    np.testing.assert_allclose(np.asarray(d), np.asarray(ref_d), rtol=1e-12)
