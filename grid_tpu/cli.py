@@ -192,6 +192,20 @@ def add_gen_map(map_file, genetic_map, out):
 
 
 @cli.command()
+@click.argument("config", type=click.Path(exists=True))
+def validate(config):
+    """Validate a config file without running anything."""
+    from grid_tpu.config import error_check_config, load_config
+
+    console = _console()
+    try:
+        error_check_config(load_config(config), console)
+    except ValueError as e:
+        raise click.ClickException(str(e))
+    log(console, "Config OK", style="success")
+
+
+@cli.command()
 def devices():
     """Show JAX devices/mesh info for this host."""
     import jax

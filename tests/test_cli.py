@@ -86,3 +86,40 @@ def test_devices_command(runner):
     result = runner.invoke(cli, ["devices"])
     assert result.exit_code == 0
     assert "backend" in result.output
+
+
+def test_validate_command(runner, tmp_path):
+    from grid_tpu.synth import make_synthetic_cohort
+
+    cohort = make_synthetic_cohort(tmp_path, n_samples=4, seed=0)
+    result = runner.invoke(cli, ["validate", str(cohort["config_file"])])
+    assert result.exit_code == 0, result.output
+    assert "Config OK" in result.output
+
+    bad = tmp_path / "bad.yaml"
+    bad.write_text("threads: nope\n")
+    result = runner.invoke(cli, ["validate", str(bad)])
+    assert result.exit_code != 0
+
+
+def test_shipped_example_config_schema(tmp_path):
+    """The shipped example_config.yaml must satisfy the schema once its
+    placeholder paths are made real."""
+    from pathlib import Path
+
+    import yaml
+
+    from grid_tpu.config import error_check_config
+
+    cfg = yaml.safe_load(
+        (Path(__file__).parent.parent / "grid_tpu" / "example_config.yaml").read_text()
+    )
+    # materialize placeholder files
+    samples = tmp_path / "s.txt"
+    samples.write_text("S1\n")
+    mask = tmp_path / "m.bed"
+    mask.write_text("chr6\t0\t1\n")
+    cfg["samples_file"] = str(samples)
+    cfg["reference_genome"] = str(samples)
+    cfg["mosdepth"]["normalize"]["repeat_mask_file"] = str(mask)
+    error_check_config(cfg, console=None)  # must not raise
