@@ -192,6 +192,58 @@ def add_gen_map(map_file, genetic_map, out):
 
 
 @cli.command()
+@click.argument("results_dir", type=click.Path(exists=True))
+@click.option("--dipcn-prefix", default="diploid_genotypes", show_default=True)
+@click.option("--haploid-prefix", default="haploid_genotypes", show_default=True)
+def report(results_dir, dipcn_prefix, haploid_prefix):
+    """Summarize a finished run: cohort size, dipCN distribution, phasing
+    coverage."""
+    from pathlib import Path
+
+    import numpy as np
+
+    from grid_tpu.io.formats import read_dipcn
+
+    console = _console()
+    results = Path(results_dir)
+    dip_file = results / f"{dipcn_prefix}.tsv"
+    if dip_file.exists():
+        ids, vals, _ = read_dipcn(dip_file)
+        v = np.asarray(vals)
+        log(console, f"dipCN: n={len(ids)}  mean={v.mean():.3f}  sd={v.std():.3f}  "
+                     f"min={v.min():.3f}  max={v.max():.3f}")
+    else:
+        log(console, f"no dipCN file at {dip_file}", style="warning")
+
+    hap_file = results / f"{haploid_prefix}.tsv"
+    if hap_file.exists():
+        lines = hap_file.read_text().splitlines()[1:]
+        n = len(lines)
+        phased = imp_only = 0
+        h1s, h2s = [], []
+        for line in lines:
+            p = line.split("\t")
+            h1, h2 = float(p[2]), float(p[3])
+            if np.isnan(h1) or np.isnan(h2):
+                imp_only += 1
+            else:
+                phased += 1
+                h1s.append(h1)
+                h2s.append(h2)
+        log(console, f"haploid: n={n}  phased={phased} ({100 * phased / max(n, 1):.1f}%)  "
+                     f"imputation-only={imp_only}")
+        if h1s:
+            alloc = np.asarray(h1s) / (np.asarray(h1s) + np.asarray(h2s)).clip(1e-9)
+            log(console, f"hap1 allocation: mean={alloc.mean():.3f}  sd={alloc.std():.3f}")
+    else:
+        log(console, f"no haploid file at {hap_file}", style="warning")
+
+    timings = results / "step_timings.json"
+    if timings.exists():
+        log(console, f"timings: {timings.read_text().strip()}")
+
+
+@cli.command()
 @click.argument("config", type=click.Path(exists=True))
 def validate(config):
     """Validate a config file without running anything."""

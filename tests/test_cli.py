@@ -123,3 +123,15 @@ def test_shipped_example_config_schema(tmp_path):
     cfg["reference_genome"] = str(samples)
     cfg["mosdepth"]["normalize"]["repeat_mask_file"] = str(mask)
     error_check_config(cfg, console=None)  # must not raise
+
+
+def test_report_command(runner, tmp_path):
+    from grid_tpu.synth import make_synthetic_cohort
+    from grid_tpu.pipeline import run_wgs_pipeline
+
+    cohort = make_synthetic_cohort(tmp_path, n_samples=8, seed=1)
+    run_wgs_pipeline(console=None, config=str(cohort["config_file"]))
+    result = runner.invoke(cli, ["report", str(cohort["results_dir"])])
+    assert result.exit_code == 0, result.output
+    assert "dipCN: n=8" in result.output
+    assert "haploid: n=8" in result.output
