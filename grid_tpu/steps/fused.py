@@ -123,14 +123,34 @@ def run_fused_steps(config, console=None, timer=None):
         use_pallas=bool(config.get("device", {}).get("use_pallas", False)),
     )
 
+    mesh_shape = config.get("device", {}).get("mesh_shape")
     with step_timer("fused.device", timer, None):
-        with step_device(config, stage.values.size + n * n):
-            out = cohort_step(
-                jnp.asarray(stage.values), jnp.asarray(stage.mask),
-                jnp.asarray(reads), jnp.asarray(reads_valid),
+        if mesh_shape:
+            # config-driven multi-chip execution: shard the cohort axis over
+            # the requested mesh and run the explicit-collective step
+            from grid_tpu.parallel import cohort_mesh, sharded_cohort_step
+
+            n_dev = int(np.prod(mesh_shape))
+            mesh = cohort_mesh(n_dev)
+            out = sharded_cohort_step(
+                mesh, stage.values, stage.mask, reads, reads_valid,
                 jnp.asarray(hi), jnp.asarray(hw), jnp.asarray(hv), params,
             )
             out = jax.tree.map(np.asarray, out)
+            # un-pad row-indexed outputs back to the real cohort size
+            out = out._replace(
+                z=out.z[:n], z_mask=out.z_mask[:n], scales=out.scales[:n],
+                nbr_idx=out.nbr_idx[:n], nbr_sq_dists=out.nbr_sq_dists[:n],
+                dipcn=out.dipcn[:n], dipcn_valid=out.dipcn_valid[:n],
+            )
+        else:
+            with step_device(config, stage.values.size + n * n):
+                out = cohort_step(
+                    jnp.asarray(stage.values), jnp.asarray(stage.mask),
+                    jnp.asarray(reads), jnp.asarray(reads_valid),
+                    jnp.asarray(hi), jnp.asarray(hw), jnp.asarray(hv), params,
+                )
+                out = jax.tree.map(np.asarray, out)
 
     with step_timer("fused.write", timer, None):
         # step 4 artifact

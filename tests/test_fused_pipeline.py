@@ -119,3 +119,43 @@ def test_fused_failure_falls_back_to_sequential(tmp_path):
     assert "fused_steps_4_7" not in timings or "normalize" in timings
     assert (out / "mosdepth_results_normalized.tsv.gz").exists()
     assert (out / "neighbor_coverage.zMax2.0.tsv.gz").exists()
+
+
+def test_fused_mesh_mode_matches_single_device(tmp_path):
+    """device.mesh_shape shards the fused step over the virtual 8-CPU mesh;
+    outputs must match the single-device fused run."""
+    import copy
+
+    import jax
+
+    if len(jax.devices()) < 8:
+        import pytest
+
+        pytest.skip("needs 8 virtual devices")
+
+    cohort = make_synthetic_cohort(tmp_path / "c", n_samples=13, seed=9)
+
+    single_cfg = copy.deepcopy(cohort["config"])
+    s_out = tmp_path / "single"
+    s_out.mkdir()
+    single_cfg["output_dir"] = str(s_out)
+    single_cfg["device"] = {"fused": True}
+    (s_out / "read_counts.tsv").write_bytes(cohort["counts_file"].read_bytes())
+    run_wgs_pipeline(console=None, config=single_cfg)
+
+    mesh_cfg = copy.deepcopy(cohort["config"])
+    m_out = tmp_path / "mesh"
+    m_out.mkdir()
+    mesh_cfg["output_dir"] = str(m_out)
+    mesh_cfg["device"] = {"fused": True, "mesh_shape": [8]}
+    (m_out / "read_counts.tsv").write_bytes(cohort["counts_file"].read_bytes())
+    timings = run_wgs_pipeline(console=None, config=mesh_cfg)
+    assert "fused_steps_4_7" in timings
+
+    s_dip = (s_out / "diploid_genotypes.tsv").read_text().splitlines()
+    m_dip = (m_out / "diploid_genotypes.tsv").read_text().splitlines()
+    assert len(s_dip) == len(m_dip)
+    for a, b in zip(s_dip[1:], m_dip[1:]):
+        pa, pb = a.split("\t"), b.split("\t")
+        assert pa[0] == pb[0]
+        assert abs(float(pa[1]) - float(pb[1])) < 1e-6
