@@ -182,3 +182,64 @@ def test_binned_depth_feeds_pipeline_staging(tmp_path, native):
     bam.binned_depth(p, out, bin_size=1000)
     starts, ends, depths = read_regions_bed_gz(out, "chr6", None, None, {})
     assert len(starts) > 0 and (depths > 0).all()
+
+
+def test_bam_empty_and_boundary_cases(tmp_path, native):
+    bam, _ = native
+    from grid_tpu.io.bamlite import encode_record, write_bam
+
+    # zero-record BAM
+    p0 = tmp_path / "empty.bam"
+    write_bam(p0, [("chr6", 1000)], [])
+    assert bam.count_reads_region(p0, "chr6", 0, 1000, {83}, 0) == 0
+    bam.build_bai(p0)
+    assert bam.count_reads_region(p0, "chr6", 0, 1000, {83}, 0) == 0
+
+    # reads with soft clips / insertions / deletions: ref span respects CIGAR
+    p1 = tmp_path / "cigar.bam"
+    recs = [
+        encode_record(0, 100, 99, cigar=[(10, "S"), (50, "M"), (5, "I"), (20, "M")], seq_len=85),
+        encode_record(0, 500, 99, cigar=[(30, "M"), (10, "D"), (30, "M")], seq_len=60),
+    ]
+    write_bam(p1, [("chr6", 2000)], recs)
+    out = tmp_path / "cigar.regions.bed.gz"
+    bam.binned_depth(p1, out, bin_size=1000)
+    import gzip
+
+    lines = gzip.open(out, "rt").read().splitlines()
+    # read1 spans 100..170 (70 ref bases), read2 spans 500..570 (70 incl. D)
+    assert lines[0] == "chr6\t0\t1000\t0.14"
+
+    # read ending exactly at a bin boundary
+    p2 = tmp_path / "boundary.bam"
+    write_bam(p2, [("chr6", 3000)], [encode_record(0, 900, 99, seq_len=100)])
+    out2 = tmp_path / "boundary.regions.bed.gz"
+    bam.binned_depth(p2, out2, bin_size=1000)
+    lines = gzip.open(out2, "rt").read().splitlines()
+    assert lines[0] == "chr6\t0\t1000\t0.10"
+    assert lines[1] == "chr6\t1000\t2000\t0.00"
+
+
+def test_bedgz_empty_file(tmp_path, native):
+    _, bedgz = native
+    import gzip
+
+    p = tmp_path / "e.regions.bed.gz"
+    with gzip.open(p, "wt") as f:
+        pass
+    s, e, d = bedgz.read_regions_bed_gz(p, "chr6", 0, 100, {})
+    assert len(s) == 0
+
+
+def test_bam_count_mapq_zero_reads(tmp_path, native):
+    bam, _ = native
+    from grid_tpu.io.bamlite import encode_record, write_bam
+
+    p = tmp_path / "mq.bam"
+    recs = [
+        encode_record(0, 100, 83, mapq=0, seq_len=50),
+        encode_record(0, 200, 83, mapq=60, seq_len=50),
+    ]
+    write_bam(p, [("chr6", 1000)], recs)
+    assert bam.count_reads_region(p, "chr6", 0, 1000, {83}, 1) == 1
+    assert bam.count_reads_region(p, "chr6", 0, 1000, {83}, 0) == 2
