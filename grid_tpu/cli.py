@@ -192,6 +192,54 @@ def add_gen_map(map_file, genetic_map, out):
 
 
 @cli.command()
+@click.option("-C", "--aln-dir", required=True, type=click.Path(exists=True))
+@click.option("--exon-fasta", required=True, type=click.Path(exists=True),
+              help="FASTA of exon references (headers: 1A, 1B_KIV3, 1B_KIV2)")
+@click.option("-c", "--chrom", required=True)
+@click.option("-s", "--start", required=True, type=int)
+@click.option("-e", "--end", required=True, type=int)
+@click.option("-o", "--output", required=True, type=click.Path())
+@click.option("--min-score", default=30, show_default=True, type=int)
+@click.option("--margin", default=3, show_default=True, type=int)
+@click.option("-t", "--threads", default=1, type=int)
+def realign(aln_dir, exon_fasta, chrom, start, end, output, min_score, margin, threads):
+    """Re-score window reads against exon references (Smith-Waterman on the
+    accelerator); writes the 5-column exon counts file."""
+    from grid_tpu.models.realign import run_realignment
+
+    run_realignment(aln_dir, exon_fasta, chrom, start, end, output,
+                    min_score, margin, threads, _console())
+
+
+@cli.command(name="exon-dipcn")
+@click.option("--counts", required=True, type=click.Path(exists=True), help="5-col exon counts")
+@click.option("--neighbors", "neighbors_file", required=True, type=click.Path(exists=True))
+@click.option("--exon-type", required=True, type=click.Choice(["1B_KIV3", "1B_notKIV3", "1B", "1A"]))
+@click.option("-o", "--output", required=True, type=click.Path())
+@click.option("--n-neighbors", default=200, show_default=True, type=int)
+def exon_dipcn(counts, neighbors_file, exon_type, output, n_neighbors):
+    """Per-exon diploid CN from realignment counts + neighbor file
+    (the legacy exon path feeding estimate-kiv)."""
+    from grid_tpu.models.kiv import compute_dipcn_for_exon
+    from grid_tpu.models.kiv_io import (
+        load_count_results,
+        load_neighbor_results,
+        validate_sample_overlap,
+        write_dipcn_output,
+    )
+
+    console = _console()
+    cnts = load_count_results(counts)
+    nbrs = load_neighbor_results(neighbors_file)
+    n_overlap, _ = validate_sample_overlap(cnts, nbrs, console)
+    if n_overlap == 0:
+        raise click.ClickException("No overlapping samples between counts and neighbors")
+    res = compute_dipcn_for_exon(cnts, nbrs, exon_type, n_neighbors)
+    write_dipcn_output(res, output)
+    log(console, f"{exon_type} dipCN for {len(res)} samples → {output}", style="success")
+
+
+@cli.command()
 @click.argument("results_dir", type=click.Path(exists=True))
 @click.option("--dipcn-prefix", default="diploid_genotypes", show_default=True)
 @click.option("--haploid-prefix", default="haploid_genotypes", show_default=True)

@@ -66,11 +66,15 @@ def encode_record(
     read_name: str = "r",
     cigar: list[tuple[int, str]] | None = None,
     seq_len: int = 0,
+    seq: str | None = None,
     next_refid: int | None = None,
     next_pos: int | None = None,
     tlen: int = 0,
 ) -> bytes:
-    """One BAM alignment record. cigar: [(length, op), ...]."""
+    """One BAM alignment record. cigar: [(length, op), ...]. Pass ``seq`` for
+    real bases (overrides seq_len); otherwise poly-A filler of seq_len."""
+    if seq is not None:
+        seq_len = len(seq)
     cigar = cigar or ([(seq_len, "M")] if seq_len else [])
     next_refid = refid if next_refid is None else next_refid
     next_pos = pos if next_pos is None else next_pos
@@ -78,8 +82,10 @@ def encode_record(
     ref_span = sum(ln for ln, op in cigar if op in "MDN=X")
     name_b = read_name.encode() + b"\0"
     cigar_b = b"".join(struct.pack("<I", (ln << 4) | _CIGAR_OPS[op]) for ln, op in cigar)
+    bases = seq if seq is not None else "A" * seq_len
+    nib = [_SEQ_NIBBLE.get(b.upper(), 15) for b in bases]
     seq_b = bytes(
-        (_SEQ_NIBBLE["A"] << 4) | (_SEQ_NIBBLE["A"] if 2 * i + 1 < seq_len else 0)
+        (nib[2 * i] << 4) | (nib[2 * i + 1] if 2 * i + 1 < seq_len else 0)
         for i in range((seq_len + 1) // 2)
     )
     qual_b = b"\xff" * seq_len

@@ -76,3 +76,56 @@ def subset_region(path, chrom, start, end, out_path) -> int:
     if rc < 0:
         raise IOError(f"grid_bam_subset({path}) failed with code {rc}")
     return int(rc)
+
+
+def fetch_reads(path, chrom, start, end, exclude_flags=1796, min_mapq=0):
+    """Fetch reads with pos in [start, end): returns (positions int64,
+    flags int32, mapqs int32, seqs list[str])."""
+    import ctypes as _ct
+
+    import numpy as np
+
+    l = lib()
+    if not hasattr(l.grid_bam_fetch, "_configured"):
+        l.grid_bam_fetch.restype = _ct.c_int64
+        l.grid_bam_fetch.argtypes = [
+            _ct.c_char_p, _ct.c_char_p, _ct.c_int64, _ct.c_int64,
+            _ct.c_int32, _ct.c_int32,
+            _ct.POINTER(_ct.POINTER(_ct.c_int64)),
+            _ct.POINTER(_ct.POINTER(_ct.c_int32)),
+            _ct.POINTER(_ct.POINTER(_ct.c_int32)),
+            _ct.POINTER(_ct.c_char_p),
+            _ct.POINTER(_ct.POINTER(_ct.c_int64)),
+        ]
+        l.grid_bam_fetch_free.restype = None
+        l.grid_bam_fetch_free.argtypes = [
+            _ct.POINTER(_ct.c_int64), _ct.POINTER(_ct.c_int32),
+            _ct.POINTER(_ct.c_int32), _ct.c_char_p, _ct.POINTER(_ct.c_int64),
+        ]
+        l.grid_bam_fetch._configured = True
+
+    p_pos = _ct.POINTER(_ct.c_int64)()
+    p_flag = _ct.POINTER(_ct.c_int32)()
+    p_mapq = _ct.POINTER(_ct.c_int32)()
+    p_seq = _ct.c_char_p()
+    p_off = _ct.POINTER(_ct.c_int64)()
+    n = l.grid_bam_fetch(
+        str(path).encode(), str(chrom).encode(), int(start), int(end),
+        int(exclude_flags), int(min_mapq),
+        _ct.byref(p_pos), _ct.byref(p_flag), _ct.byref(p_mapq),
+        _ct.byref(p_seq), _ct.byref(p_off),
+    )
+    if n < 0:
+        raise IOError(f"grid_bam_fetch({path}) failed with code {n}")
+    try:
+        pos = np.ctypeslib.as_array(p_pos, shape=(n,)).copy() if n else np.empty(0, np.int64)
+        flags = np.ctypeslib.as_array(p_flag, shape=(n,)).copy() if n else np.empty(0, np.int32)
+        mapqs = np.ctypeslib.as_array(p_mapq, shape=(n,)).copy() if n else np.empty(0, np.int32)
+        offs = np.ctypeslib.as_array(p_off, shape=(n + 1,)).copy()
+        total = int(offs[-1])
+        raw = _ct.string_at(p_seq, total) if total else b""
+        seqs = [raw[offs[i]:offs[i + 1]].decode() for i in range(n)]
+    finally:
+        # p_seq is c_char_p; recover the raw pointer for free via cast
+        l.grid_bam_fetch_free(p_pos, p_flag, p_mapq, _ct.cast(p_seq, _ct.c_char_p), p_off)
+    return pos, flags, mapqs, seqs

@@ -618,3 +618,105 @@ int64_t grid_bam_subset(const char* path, const char* chrom, int64_t start, int6
 }
 
 }  // extern "C"
+
+// ---- region read fetch (positions + sequences) ----------------------------
+// Feeds the realignment path: extract reads overlapping a window with their
+// decoded sequences. Results are malloc'd; free with grid_bam_fetch_free.
+
+extern "C" {
+
+static const char kSeqCode[16] = {'=', 'A', 'C', 'M', 'G', 'R', 'S', 'V',
+                                  'T', 'W', 'Y', 'H', 'K', 'D', 'B', 'N'};
+
+// Fetch reads with pos in [start, end) passing (flag & exclude_flags) == 0
+// and mapq >= min_mapq. Outputs:
+//   out_pos[i], out_flag[i], out_mapq[i] per read;
+//   out_seq: concatenated sequence bytes; out_seq_off[i]..out_seq_off[i+1]
+//   delimit read i (out_seq_off has n+1 entries).
+// Returns n >= 0 or negative error.
+int64_t grid_bam_fetch(const char* path, const char* chrom, int64_t start, int64_t end,
+                       int32_t exclude_flags, int32_t min_mapq, int64_t** out_pos,
+                       int32_t** out_flag, int32_t** out_mapq, char** out_seq,
+                       int64_t** out_seq_off) {
+  *out_pos = nullptr;
+  *out_flag = nullptr;
+  *out_mapq = nullptr;
+  *out_seq = nullptr;
+  *out_seq_off = nullptr;
+
+  BgzfReader r;
+  if (!r.open(path)) return -1;
+  BamHeader hdr;
+  if (!read_header(r, &hdr)) return -2;
+  int32_t tid = hdr.tid(chrom);
+  if (tid < 0) return -4;
+
+  std::vector<int64_t> poss;
+  std::vector<int32_t> flags_v, mapqs;
+  std::vector<char> seqs;
+  std::vector<int64_t> offs;
+  offs.push_back(0);
+
+  std::vector<uint8_t> data;
+  for (;;) {
+    uint8_t b4[4];
+    if (r.eof()) break;
+    if (!r.read(b4, 4)) break;
+    int32_t block_size = rd_i32(b4);
+    if (block_size < 32) break;
+    data.resize(block_size);
+    if (!r.read(data.data(), block_size)) break;
+    const uint8_t* p = data.data();
+    int32_t refid = rd_i32(p + 0);
+    int32_t pos = rd_i32(p + 4);
+    if (refid != tid) {
+      if (refid > tid) break;
+      continue;
+    }
+    if (pos >= end) break;
+    if (pos < start) continue;
+    uint8_t l_read_name = p[8];
+    uint8_t mapq = p[9];
+    uint16_t n_cigar = rd_u16(p + 12);
+    uint16_t flag = rd_u16(p + 14);
+    int32_t l_seq = rd_i32(p + 16);
+    if (flag & exclude_flags) continue;
+    if (mapq < min_mapq) continue;
+    size_t seq_off = 32 + l_read_name + 4ull * n_cigar;
+    if (seq_off + (l_seq + 1) / 2 > (size_t)block_size) continue;
+    poss.push_back(pos);
+    flags_v.push_back(flag);
+    mapqs.push_back(mapq);
+    for (int32_t i = 0; i < l_seq; ++i) {
+      uint8_t nib = p[seq_off + i / 2];
+      nib = (i % 2 == 0) ? (nib >> 4) : (nib & 0xf);
+      seqs.push_back(kSeqCode[nib]);
+    }
+    offs.push_back((int64_t)seqs.size());
+  }
+
+  int64_t n = (int64_t)poss.size();
+  *out_pos = (int64_t*)malloc(sizeof(int64_t) * (n ? n : 1));
+  *out_flag = (int32_t*)malloc(sizeof(int32_t) * (n ? n : 1));
+  *out_mapq = (int32_t*)malloc(sizeof(int32_t) * (n ? n : 1));
+  *out_seq = (char*)malloc(seqs.size() ? seqs.size() : 1);
+  *out_seq_off = (int64_t*)malloc(sizeof(int64_t) * (n + 1));
+  if (!*out_pos || !*out_flag || !*out_mapq || !*out_seq || !*out_seq_off) return -5;
+  memcpy(*out_pos, poss.data(), sizeof(int64_t) * n);
+  memcpy(*out_flag, flags_v.data(), sizeof(int32_t) * n);
+  memcpy(*out_mapq, mapqs.data(), sizeof(int32_t) * n);
+  if (!seqs.empty()) memcpy(*out_seq, seqs.data(), seqs.size());
+  memcpy(*out_seq_off, offs.data(), sizeof(int64_t) * (n + 1));
+  return n;
+}
+
+void grid_bam_fetch_free(int64_t* pos, int32_t* flag, int32_t* mapq, char* seq,
+                         int64_t* seq_off) {
+  free(pos);
+  free(flag);
+  free(mapq);
+  free(seq);
+  free(seq_off);
+}
+
+}  // extern "C"
