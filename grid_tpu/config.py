@@ -81,7 +81,10 @@ STEP_SCHEMA = [
         "gate": ("mosdepth", "neighbors"),
         "default": "output",
     },
-    {"path": ("mosdepth", "neighbors", "num_neighbors"), "gate": ("mosdepth", "neighbors"), "default": 5},
+    # reference schema documents 5, but its validator is never invoked (Q1)
+    # and the step behaviorally defaults to 500 (find_neighbors.py:33);
+    # activating the dead 5 would silently change results
+    {"path": ("mosdepth", "neighbors", "num_neighbors"), "gate": ("mosdepth", "neighbors"), "default": 500},
     {"path": ("mosdepth", "neighbors", "zmax"), "gate": ("mosdepth", "neighbors"), "default": 2.0},
     {"path": ("mosdepth", "neighbors", "sigma2_max"), "gate": ("mosdepth", "neighbors"), "default": 1000},
     {"path": ("mosdepth", "neighbors", "frac_r"), "gate": ("mosdepth", "neighbors"), "default": 1.0},
@@ -112,7 +115,7 @@ STEP_SCHEMA = [
 
 # grid_tpu device/runtime section (new; all optional).
 DEVICE_SCHEMA = [
-    {"path": ("device", "dtype"), "default": "float32"},
+    {"path": ("device", "dtype"), "default": "auto"},  # auto|float32|float64|bfloat16
     {"path": ("device", "mesh_shape"), "default": None},  # e.g. [8] or [4, 2]
     {"path": ("device", "fused"), "default": False},  # steps 4-7 as one device program
     {"path": ("device", "exact_phasing"), "default": False},  # host Gauss-Seidel parity mode

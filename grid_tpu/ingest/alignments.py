@@ -136,3 +136,50 @@ def count_reads_in_region(
         "No alignment backend available: native reader supports .bam; "
         "CRAM requires pysam. Backends found: " + (", ".join(available_backends()) or "none")
     )
+
+
+def fetch_reads_region(
+    aln_file,
+    ref_fasta,
+    chrom: str,
+    start: int,
+    end: int,
+    exclude_flags: int = 1796,
+    min_mapq: int = 0,
+):
+    """Fetch reads STARTING in [start, end): (positions, flags, mapqs, seqs).
+
+    Backend chain like :func:`count_reads_in_region`: native C++ for BAM,
+    pysam otherwise (required for CRAM).
+    """
+    import numpy as np
+
+    path = str(aln_file)
+    native = _native()
+    if native is not None and path.endswith(".bam"):
+        return native.fetch_reads(path, chrom, start, end, exclude_flags, min_mapq)
+
+    if _HAVE_PYSAM:
+        mode = "rc" if path.endswith(".cram") else "rb"
+        positions, flags, mapqs, seqs = [], [], [], []
+        with pysam.AlignmentFile(path, mode, reference_filename=ref_fasta) as f:
+            for read in f.fetch(chrom, start, end):
+                if read.flag & exclude_flags or read.mapq < min_mapq:
+                    continue
+                if not (start <= read.reference_start < end):
+                    continue
+                positions.append(read.reference_start)
+                flags.append(read.flag)
+                mapqs.append(read.mapq)
+                seqs.append(read.query_sequence or "")
+        return (
+            np.asarray(positions, np.int64),
+            np.asarray(flags, np.int32),
+            np.asarray(mapqs, np.int32),
+            seqs,
+        )
+
+    raise RuntimeError(
+        "No alignment backend available to fetch reads: native reader "
+        "supports .bam; CRAM requires pysam."
+    )

@@ -131,7 +131,10 @@ def cohort_step(
     # columns; on unselected columns the filter never sees them. Emulate by
     # feeding NaN for unselected regions (reference reads only Rwant cols).
     ratios_seen = jnp.where(selected, norm.var_ratio, jnp.nan)
-    vfilter = region_filter_mask(ratios_seen, params.frac_r, params.sigma2_max)
+    vfilter = region_filter_mask(
+        ratios_seen, params.frac_r, params.sigma2_max,
+        n_written=jnp.sum(selected),  # rank base = written-column count
+    )
     region_used = selected & vfilter
     r_use = jnp.sum(region_used)
 

@@ -84,12 +84,17 @@ def classify_window_reads(seqs, exon_refs: dict[str, str], min_score: int, margi
     return counts
 
 
-def realign_sample(bam_path, chrom, start, end, exon_refs, min_score=30, margin=3,
-                   min_mapq=0):
-    """Fetch + classify one sample's window reads. Returns the counts dict."""
-    from grid_tpu.native import bam
+def realign_sample(aln_path, chrom, start, end, exon_refs, min_score=30, margin=3,
+                   min_mapq=0, ref_fasta=None):
+    """Fetch + classify one sample's window reads. Returns the counts dict.
 
-    _, _, _, seqs = bam.fetch_reads(bam_path, chrom, start, end, min_mapq=min_mapq)
+    Uses the backend-dispatching fetch (native C++ for BAM, pysam for CRAM).
+    """
+    from grid_tpu.ingest.alignments import fetch_reads_region
+
+    _, _, _, seqs = fetch_reads_region(
+        aln_path, ref_fasta, chrom, start, end, min_mapq=min_mapq
+    )
     return classify_window_reads(seqs, exon_refs, min_score, margin)
 
 
@@ -99,7 +104,7 @@ def run_realignment(aln_dir, exon_fasta, chrom, start, end, output_file,
     (``sample  1B_KIV3  1B_KIV2  1B_tied  1A``, the kiv_io format)."""
     aln_dir = Path(aln_dir).expanduser()
     exon_refs = read_fasta(exon_fasta)
-    bams = sorted(aln_dir.glob("*.bam"))
+    bams = sorted(list(aln_dir.glob("*.bam")) + list(aln_dir.glob("*.cram")))
     results: dict[str, dict[str, int]] = {}
 
     def one(p: Path):

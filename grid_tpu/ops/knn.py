@@ -50,19 +50,32 @@ def filter_regions_by_variance(
     return valid_indices, len(valid_indices)
 
 
-def region_filter_mask(sigma2ratios, frac_r: float = 1.0, sigma2_max: float = 1000.0):
+def region_filter_mask(sigma2ratios, frac_r: float = 1.0, sigma2_max: float = 1000.0,
+                       n_written=None):
     """Device-side (jit-safe) variant returning a boolean [R] mask.
 
     Matches :func:`filter_regions_by_variance` including the all-non-finite
     fallback (keep everything).
+
+    Args:
+        n_written: the column count the frac_r rank is computed against — in
+            the file pipeline this is the number of WRITTEN columns (len of
+            the header row), which the fused path must emulate when it feeds
+            a full-length array with un-selected columns masked to NaN. May
+            be a traced scalar. Defaults to the array length.
     """
     sigma2ratios = jnp.asarray(sigma2ratios)
-    r = sigma2ratios.shape[0]
+    r = sigma2ratios.shape[0] if n_written is None else n_written
     finite = jnp.isfinite(sigma2ratios)
     n_finite = jnp.sum(finite)
     big = jnp.asarray(jnp.inf, dtype=sigma2ratios.dtype)
     sorted_vals = jnp.sort(jnp.where(finite, sigma2ratios, big))
-    lower_idx = jnp.minimum(int(r * (1.0 - frac_r)), jnp.maximum(n_finite - 1, 0))
+    # int() truncation of r * (1 - frac_r); the epsilon guards float error
+    # flipping e.g. 90.0 to 89.999996 under f32
+    rank = jnp.floor(
+        jnp.asarray(r, jnp.float32) * jnp.float32(1.0 - frac_r) + jnp.float32(1e-4)
+    ).astype(jnp.int32)
+    lower_idx = jnp.minimum(rank, jnp.maximum(n_finite - 1, 0))
     sigma2_min = sorted_vals[lower_idx]
     mask = finite & (sigma2ratios >= sigma2_min) & (sigma2ratios <= sigma2_max)
     return jnp.where(n_finite > 0, mask, jnp.ones_like(mask))
@@ -209,7 +222,6 @@ def knn_squared_host(z, k: int):
     k = min(k, n - 1)
     sq = np.sum(z * z, axis=1)
     d2 = sq[:, None] + sq[None, :] - 2 * z @ z.T
-    np.fill_diagonal(d2, np.inf)
     d2 = np.maximum(d2, 0.0)
     np.fill_diagonal(d2, np.inf)
     idx = np.argsort(d2, axis=1, kind="stable")[:, :k]

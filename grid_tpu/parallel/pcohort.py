@@ -80,15 +80,19 @@ def sharded_cohort_step(
     norm = normalize_cohort_sharded(values, mask, mesh, n_rows=n_rows)
     selected = select_high_variance_mask(norm.var_ratio, params.top_frac)
 
+    from grid_tpu.models.cohort import _q2
+
     scales = norm.row_means_raw
     z = norm.z
     if params.quantize:
-        scales = jnp.round(scales * 100) / 100
-        z = jnp.where(norm.mask, jnp.round(z * 100) / 100, z)
+        scales = _q2(scales)
+        z = jnp.where(norm.mask, _q2(z), z)
 
     # ---- step 5: region filter + ring kNN ------------------------------
     ratios_seen = jnp.where(selected, norm.var_ratio, jnp.nan)
-    vfilter = region_filter_mask(ratios_seen, params.frac_r, params.sigma2_max)
+    vfilter = region_filter_mask(
+        ratios_seen, params.frac_r, params.sigma2_max, n_written=jnp.sum(selected)
+    )
     region_used = selected & vfilter
     r_use = jnp.sum(region_used)
 

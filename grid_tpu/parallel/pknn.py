@@ -12,8 +12,12 @@ Peak memory per device: O(B * (R + k + B)); communication: each device
 sends/receives the block n_devices-1 times — bandwidth-optimal for a ring
 (same volume as one all_gather) and overlappable with the matmul by XLA.
 
-The merge keeps (distance, global index) pairs; candidate top-k concat +
-re-top_k preserves ascending order and the low-index tie rule.
+The merge keeps (distance, global index) pairs; candidates are folded with
+concat + re-top_k, which preserves ascending distance order. EXACT distance
+ties are broken by ring visit order (own shard first, then each arriving
+block), which can differ from the single-device low-index rule — quantized
+z-values make exact ties possible, so cross-shard parity is asserted on
+neighbor SETS and downstream dipCN, not orderings (docs/parity.md).
 """
 
 from __future__ import annotations

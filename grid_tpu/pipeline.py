@@ -28,15 +28,61 @@ from grid_tpu.utils.logging import log
 from grid_tpu.utils.timing import StepTimer, step_timer
 
 
+def _file_stat(path) -> tuple:
+    """(mtime_ns, size) of a file, or ("missing",) — cheap content proxy."""
+    try:
+        st = Path(path).stat()
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return ("missing",)
+
+
+def _step_inputs(name: str, config: dict) -> list:
+    """The on-disk inputs whose change must invalidate a cached step."""
+    out_dir = Path(config.get("output_dir", "."))
+    ft = config.get("output_file_type", "tsv")
+    m = config.get("mosdepth", {})
+
+    def prefix(section, key="output_file_prefix"):
+        return section.get(key) if isinstance(section, dict) else None
+
+    if name == "normalize":
+        work = m.get("work_dir")
+        if work and Path(work).is_dir():
+            return sorted(str(p) for p in Path(work).glob("*.regions.bed.gz"))
+        return []
+    if name == "neighbors":
+        return [out_dir / f"{prefix(m.get('normalize', {}))}.{ft}.gz"]
+    if name == "compute_diploid_genotypes":
+        zmax = m.get("neighbors", {}).get("zmax", 2.0)
+        return [
+            out_dir / f"{prefix(config.get('count_reads', {}))}.{ft}",
+            out_dir / f"{prefix(m.get('neighbors', {}))}.zMax{zmax:.1f}.{ft}.gz",
+        ]
+    if name == "compute_haploid_genotypes":
+        h = config.get("compute_haploid_genotypes", {})
+        inputs = [out_dir / f"{prefix(config.get('compute_diploid_genotypes', {}))}.{ft}"]
+        for key in ("ibs_output", "ibd_output"):
+            if h.get(key):
+                inputs.append(h[key])
+        return inputs
+    return []
+
+
 def _step_fingerprint(name: str, config: dict) -> str:
-    """Hash of the step-relevant config for resume-skip decisions."""
+    """Hash of the step-relevant config AND the stat signature of the step's
+    input files, so regenerated upstream artifacts (or parameter changes in
+    upstream sections that determine input filenames) invalidate the skip."""
     relevant = {
         "global": {
             k: config.get(k)
             for k in ("samples_file", "chrom", "start_bp", "end_bp", "output_dir", "min_mapq")
         },
         "step": config.get(name, {}),
-        "mosdepth": config.get("mosdepth", {}) if name in ("normalize", "neighbors") else None,
+        "mosdepth": config.get("mosdepth", {})
+        if name in ("normalize", "neighbors", "compute_diploid_genotypes")
+        else None,
+        "inputs": [(str(p), _file_stat(p)) for p in _step_inputs(name, config)],
     }
     return hashlib.sha256(json.dumps(relevant, sort_keys=True, default=str).encode()).hexdigest()
 

@@ -140,12 +140,16 @@ def compute_mosdepth(config, console=None):
     write_lock = Lock()
     failed = []
 
+    errors = {}
+
     def process(path):
         try:
             return run_coverage_single(
                 path, ref, work_dir, chrom, start, end, region_name, by, fast_mode, threads
             )
-        except Exception:
+        except Exception as e:
+            detail = getattr(e, "stderr", "") or str(e)
+            errors[str(path)] = str(detail)[-500:]
             return "Error"
 
     with progress_bar(console, total=len(files), description="Running coverage") as (progress, task):
@@ -159,7 +163,8 @@ def compute_mosdepth(config, console=None):
                         with open(output_path, "a", newline="") as f:
                             f.write(f"{sample}\t{coverage}\n")
                 else:
-                    log(console, f"✗ {sample} failed", style="danger")
+                    detail = errors.get(str(files[sample]), "")
+                    log(console, f"✗ {sample} failed: {detail}", style="danger")
                     failed.append(sample)
                 progress.update(task, advance=1)
 

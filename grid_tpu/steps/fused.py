@@ -42,7 +42,7 @@ from grid_tpu.io.hap_neighbors import (
 )
 from grid_tpu.io.staging import stage_cohort
 from grid_tpu.models.cohort import CohortParams, cohort_step
-from grid_tpu.utils.device import step_device
+from grid_tpu.utils.device import resolve_dtype, step_device
 from grid_tpu.utils.logging import log
 from grid_tpu.utils.timing import step_timer
 
@@ -124,6 +124,8 @@ def run_fused_steps(config, console=None, timer=None):
     )
 
     mesh_shape = config.get("device", {}).get("mesh_shape")
+    dtype = resolve_dtype(config)
+    stage_values = stage.values if dtype is None else stage.values.astype(dtype)
     with step_timer("fused.device", timer, None):
         if mesh_shape:
             # config-driven multi-chip execution: shard the cohort axis over
@@ -133,7 +135,7 @@ def run_fused_steps(config, console=None, timer=None):
             n_dev = int(np.prod(mesh_shape))
             mesh = cohort_mesh(n_dev)
             out = sharded_cohort_step(
-                mesh, stage.values, stage.mask, reads, reads_valid,
+                mesh, stage_values, stage.mask, reads, reads_valid,
                 jnp.asarray(hi), jnp.asarray(hw), jnp.asarray(hv), params,
             )
             out = jax.tree.map(np.asarray, out)
@@ -146,7 +148,7 @@ def run_fused_steps(config, console=None, timer=None):
         else:
             with step_device(config, stage.values.size + n * n):
                 out = cohort_step(
-                    jnp.asarray(stage.values), jnp.asarray(stage.mask),
+                    jnp.asarray(stage_values), jnp.asarray(stage.mask),
                     jnp.asarray(reads), jnp.asarray(reads_valid),
                     jnp.asarray(hi), jnp.asarray(hw), jnp.asarray(hv), params,
                 )

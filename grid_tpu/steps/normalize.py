@@ -18,7 +18,7 @@ from grid_tpu.io.bed import load_repeat_mask
 from grid_tpu.io.formats import read_samples, write_normalized_output
 from grid_tpu.io.staging import stage_cohort
 from grid_tpu.ops.normalize import normalize_cohort, select_high_variance_indices
-from grid_tpu.utils.device import step_device
+from grid_tpu.utils.device import resolve_dtype, step_device
 from grid_tpu.utils.logging import log
 from grid_tpu.utils.timing import step_timer
 
@@ -50,8 +50,10 @@ def normalize_mosdepth(config, console=None):
         )
 
     with step_timer("normalize.device", console=None):
+        dtype = resolve_dtype(config)
+        vals = stage.values if dtype is None else stage.values.astype(dtype)
         with step_device(config, stage.values.size):
-            res = normalize_cohort(jnp.asarray(stage.values), jnp.asarray(stage.mask))
+            res = normalize_cohort(jnp.asarray(vals), jnp.asarray(stage.mask))
             res = jax.tree.map(np.asarray, res)
         selected = select_high_variance_indices(res.var_ratio, top_frac)
 

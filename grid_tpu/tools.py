@@ -60,13 +60,18 @@ def subset_alignment(aln_path, chrom, start, end, out_path, reference_genome=Non
     requires pysam. Returns the number of records written."""
     aln_path = str(aln_path)
     if aln_path.endswith(".bam"):
-        from grid_tpu.native import bam
+        try:
+            from grid_tpu.native import bam
 
-        return bam.subset_region(aln_path, chrom, start, end, out_path)
+            return bam.subset_region(aln_path, chrom, start, end, out_path)
+        except ImportError:
+            pass  # no C++ toolchain: fall through to pysam
     try:
         import pysam  # type: ignore
     except ImportError as e:
-        raise RuntimeError("CRAM subsetting requires pysam") from e
+        raise RuntimeError(
+            "Subsetting needs the native library (BAM) or pysam (BAM/CRAM)"
+        ) from e
     n = 0
     with pysam.AlignmentFile(aln_path, "rc", reference_filename=reference_genome) as fin:
         with pysam.AlignmentFile(str(out_path), "wc", template=fin,

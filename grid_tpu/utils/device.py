@@ -42,6 +42,31 @@ def enable_compilation_cache(cache_dir=None) -> None:
         pass  # older jax or read-only home: run without the cache
 
 
+def resolve_dtype(config: dict | None):
+    """Map device.dtype to a numpy/jnp dtype, or None for "auto" (keep the
+    staged arrays' dtype: float64 on the x64 CPU backend, float32 on TPU)."""
+    import numpy as np
+
+    name = "auto"
+    if config:
+        name = str(config.get("device", {}).get("dtype", "auto")).lower()
+    if name in ("auto", "none", ""):
+        return None
+    import jax.numpy as jnp
+
+    table = {
+        "float32": np.float32,
+        "f32": np.float32,
+        "float64": np.float64,
+        "f64": np.float64,
+        "bfloat16": jnp.bfloat16,
+        "bf16": jnp.bfloat16,
+    }
+    if name not in table:
+        raise ValueError(f"unknown device.dtype {name!r}")
+    return table[name]
+
+
 @contextmanager
 def step_device(config: dict | None, workload_elems: int):
     """Context manager placing jax computations for one pipeline step.

@@ -88,7 +88,7 @@ def test_apply_defaults(tmp_path):
     assert full["mosdepth"]["neighbors"]["zmax"] == 2.0
     assert full["mosdepth"]["neighbors"]["frac_r"] == 1.0
     assert full["mosdepth"]["work_dir"].endswith("mosdepth_workdir")
-    assert full["device"]["dtype"] == "float32"
+    assert full["device"]["dtype"] == "auto"
     # original untouched
     assert "bin_size" not in cfg["mosdepth"]
 

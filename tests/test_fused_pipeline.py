@@ -159,3 +159,27 @@ def test_fused_mesh_mode_matches_single_device(tmp_path):
         pa, pb = a.split("\t"), b.split("\t")
         assert pa[0] == pb[0]
         assert abs(float(pa[1]) - float(pb[1])) < 1e-6
+
+
+def test_device_dtype_knob(tmp_path):
+    """device.dtype: float32 runs the fused step in f32 (results still within
+    %.2f write precision of the f64 run)."""
+    import copy
+
+    cohort = make_synthetic_cohort(tmp_path / "c", n_samples=10, seed=14)
+    outs = {}
+    for name, dtype in [("auto", None), ("f32", "float32")]:
+        cfg = copy.deepcopy(cohort["config"])
+        out = tmp_path / name
+        out.mkdir()
+        cfg["output_dir"] = str(out)
+        cfg["device"] = {"fused": True}
+        if dtype:
+            cfg["device"]["dtype"] = dtype
+        (out / "read_counts.tsv").write_bytes(cohort["counts_file"].read_bytes())
+        run_wgs_pipeline(console=None, config=cfg)
+        outs[name] = (out / "diploid_genotypes.tsv").read_text().splitlines()
+    assert len(outs["auto"]) == len(outs["f32"])
+    for a, b in zip(outs["auto"][1:], outs["f32"][1:]):
+        va, vb = float(a.split("\t")[1]), float(b.split("\t")[1])
+        assert abs(va - vb) < 1e-4

@@ -152,3 +152,24 @@ def test_haploid_concordance_with_truth(tmp_path):
     e, t = np.array(pairs).T
     rho = np.corrcoef(e, t)[0, 1]
     assert rho > 0.5, f"haplotype allocation correlation too low: {rho}"
+
+
+def test_resume_invalidated_by_upstream_change(cohort, tmp_path):
+    """resume must NOT serve stale downstream artifacts after an upstream
+    parameter (that changes the input filename/content) is edited."""
+    import copy
+
+    cfg = copy.deepcopy(cohort["config"])
+    out = tmp_path / "resume2"
+    cfg["output_dir"] = str(out)
+    cfg["resume"] = True
+    out.mkdir()
+    (out / "read_counts.tsv").write_bytes(cohort["counts_file"].read_bytes())
+    t1 = run_wgs_pipeline(console=None, config=cfg)
+    assert "compute_diploid_genotypes" in t1
+
+    # change zmax: neighbors re-runs under a new filename; dipCN MUST rerun
+    cfg["mosdepth"]["neighbors"]["zmax"] = 3.0
+    t2 = run_wgs_pipeline(console=None, config=cfg)
+    assert "neighbors" in t2
+    assert "compute_diploid_genotypes" in t2, "stale dipCN served from resume cache"
