@@ -7,14 +7,11 @@ program (`grid_tpu.models.cohort.cohort_step`), then writes all four
 artifacts from the device outputs. Same formats, one XLA program, no
 intermediate file round-trips.
 
-Known divergences from the file-by-file path (both within the parity
-tolerance contract, docs/parity.md):
-
-- phasing is Jacobi-ordered (the file path's default too; use
-  ``exact_phasing`` with the step pipeline for byte parity);
-- a haplotype-neighbor line referencing a sample that would have been
-  dropped from the dipCN file consumes a max_neighbors slot here (its
-  contribution is masked instead of the line being skipped).
+Phasing runs AFTER the fused compute, over exactly the dipCN-valid samples
+(the haplotype-neighbor files are indexed against the same sample universe
+the file pipeline's dipCN artifact would contain), so fused and sequential
+modes share step-7 semantics exactly (both Jacobi; ``exact_phasing``
+selects the byte-parity sequential pipeline).
 """
 
 from __future__ import annotations
@@ -93,22 +90,14 @@ def run_fused_steps(config, console=None, timer=None):
         reads = np.array([reads_map.get(sid, np.nan) for sid in stage.sample_ids])
         reads_valid = np.array([sid in reads_map for sid in stage.sample_ids])
 
-        id_to_ind = {sid: i for i, sid in enumerate(stage.sample_ids)}
         max_nbr = hcfg.get("max_neighbors", 10)
         method = str(hcfg.get("method", "ibs")).lower()
-        if method == "ibs":
-            hap_nbrs = load_ibs_neighbors(hcfg["ibs_output"], id_to_ind, max_nbr)
-        elif method == "ibd":
-            hap_nbrs = load_ibd_neighbors(
-                hcfg["ibd_output"], id_to_ind, max_nbr, start, end,
-                min_length=hcfg.get("min_length", 0.5),
-                min_match=hcfg.get("min_match", 0.70),
-                weighted=hcfg.get("weighted", False),
-                weight_scale=hcfg.get("weight_scale", 1_000_000),
-            )
-        else:
+        if method not in ("ibs", "ibd"):
             raise ValueError(f"unknown method '{method}'")
-        hi, hw, hv = pad_hap_neighbors(hap_nbrs, max_nbr, dtype=np.float64)
+        # phasing neighbors are loaded AFTER dipCN validity is known (below),
+        # against the same sample universe the file pipeline's dipCN artifact
+        # would contain; the device step runs with empty placeholders
+        hi, hw, hv = pad_hap_neighbors([[] for _ in range(2 * n)], max_nbr, dtype=np.float64)
 
     params = CohortParams(
         top_frac=ncfg.get("top_frac", 0.1),
@@ -118,7 +107,7 @@ def run_fused_steps(config, console=None, timer=None):
         num_neighbors=min(kcfg.get("num_neighbors", 500), n - 1),
         n_nbr=dcfg.get("n_nbr", 300),
         min_nbr=hcfg.get("min_neighbors", 1),
-        n_iters=hcfg.get("n_iters", 100),
+        n_iters=0,  # step 7 runs separately over the dipCN-valid universe
         quantize=True,
         use_pallas=bool(config.get("device", {}).get("use_pallas", False)),
     )
@@ -154,6 +143,37 @@ def run_fused_steps(config, console=None, timer=None):
                 )
                 out = jax.tree.map(np.asarray, out)
 
+    # ---- step 7 over the dipCN-valid sample universe --------------------
+    valid = out.dipcn_valid.astype(bool)
+    vidx = np.where(valid)[0]
+    valid_ids = [stage.sample_ids[i] for i in vidx]
+    irrs_v = np.asarray([float(out.dipcn[i]) for i in vidx])
+    id_to_ind = {sid: i for i, sid in enumerate(valid_ids)}
+    if method == "ibs":
+        hap_nbrs = load_ibs_neighbors(hcfg["ibs_output"], id_to_ind, max_nbr)
+    else:
+        hap_nbrs = load_ibd_neighbors(
+            hcfg["ibd_output"], id_to_ind, max_nbr, start, end,
+            min_length=hcfg.get("min_length", 0.5),
+            min_match=hcfg.get("min_match", 0.70),
+            weighted=hcfg.get("weighted", False),
+            weight_scale=hcfg.get("weight_scale", 1_000_000),
+        )
+    hvi, hvw, hvv = pad_hap_neighbors(hap_nbrs, max_nbr, dtype=np.float64)
+    from grid_tpu.ops.phasing import compute_imputed, phase_haplotypes
+
+    with step_timer("fused.phase", timer, None):
+        with step_device(config, hcfg.get("n_iters", 100) * max(hvi.size, 1)):
+            res7 = phase_haplotypes(
+                jnp.asarray(irrs_v), jnp.asarray(hvi), jnp.asarray(hvw),
+                jnp.asarray(hvv), hcfg.get("min_neighbors", 1), hcfg.get("n_iters", 100),
+            )
+            imp7 = np.asarray(
+                compute_imputed(res7.hap_irrs, jnp.asarray(hvi), jnp.asarray(hvw),
+                                jnp.asarray(hvv), res7.mean_irrs)
+            )
+            hap7 = np.asarray(res7.hap_irrs)
+
     with step_timer("fused.write", timer, None):
         # step 4 artifact
         selected_idx = np.where(out.region_selected)[0]
@@ -175,24 +195,13 @@ def run_fused_steps(config, console=None, timer=None):
 
         # step 6 artifact
         dip_path = Path(output_dir) / f"{dcfg.get('output_file_prefix')}.{out_type}"
-        valid = out.dipcn_valid.astype(bool)
-        write_dipcn(
-            dip_path,
-            [sid for i, sid in enumerate(stage.sample_ids) if valid[i]],
-            [float(out.dipcn[i]) for i in range(n) if valid[i]],
-        )
+        write_dipcn(dip_path, valid_ids, list(irrs_v))
 
         # step 7 artifact (rows = dipCN-valid samples, like the file path)
         hap_path = Path(output_dir) / f"{hcfg.get('output_file_prefix')}.{out_type}"
-        vidx = np.where(valid)[0]
         write_haploid_output(
-            hap_path,
-            [stage.sample_ids[i] for i in vidx],
-            [float(out.dipcn[i]) for i in vidx],
-            out.hap_irrs[2 * vidx],
-            out.hap_irrs[2 * vidx + 1],
-            out.hap_imp[2 * vidx],
-            out.hap_imp[2 * vidx + 1],
+            hap_path, valid_ids, irrs_v,
+            hap7[0::2], hap7[1::2], imp7[0::2], imp7[1::2],
         )
 
     log(console, f"Fused steps 4-7 complete → {output_dir}", style="success")
