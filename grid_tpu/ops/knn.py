@@ -131,8 +131,8 @@ def knn_squared(z, k: int, row_valid=None, row_block: int = 512,
         raise ValueError(f"unknown selector {selector!r}")
     if col_block is None and n > 16384:
         col_block = 8192
-    if col_block is not None and (col_block >= n or n % col_block != 0 or col_block <= k):
-        col_block = None  # fall back to flat selection for awkward shapes
+    if col_block is not None and (col_block >= n or col_block <= k):
+        col_block = None  # two-stage has nothing to gain at these shapes
 
     sq_norms = jnp.sum(z * z, axis=1)  # [N]
     col_invalid = None if row_valid is None else ~jnp.asarray(row_valid, dtype=bool)
@@ -159,10 +159,12 @@ def knn_squared(z, k: int, row_valid=None, row_block: int = 512,
         if col_invalid is not None:
             d2 = jnp.where(col_invalid[None, :], big, d2)
         if col_block is not None:
-            # two-stage: select k per column block, exact-merge candidates
+            # two-stage: select k per column block, exact-merge candidates;
+            # the tail is padded with +inf so any N works
             b = d2.shape[0]
-            ncb = n // col_block
-            d3 = d2[:, : ncb * col_block].reshape(b, ncb, col_block)
+            ncb = -(-n // col_block)
+            d2p = jnp.pad(d2, ((0, 0), (0, ncb * col_block - n)), constant_values=big)
+            d3 = d2p.reshape(b, ncb, col_block)
             if selector == "approx":
                 neg, idx = jax.lax.approx_max_k(-d3, k, recall_target=recall_target)
             else:

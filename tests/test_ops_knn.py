@@ -99,9 +99,14 @@ def test_knn_two_stage_col_block_matches_flat(rng):
         assert set(np.asarray(i)[row].tolist()) == set(np.asarray(ref_i)[row].tolist())
 
 
-def test_knn_col_block_awkward_shapes_fall_back(rng):
+def test_knn_col_block_non_dividing_padded(rng):
     z = rng.normal(size=(30, 6))
-    # col_block not dividing N, or <= k: silently falls back to flat
+    # col_block not dividing N: the tail block is +inf padded, results exact
     d, i = knn_squared(jnp.asarray(z), 5, row_block=16, col_block=7)
-    ref_d, _ = knn_squared(jnp.asarray(z), 5, row_block=16)
+    ref_d, ref_i = knn_squared(jnp.asarray(z), 5, row_block=16)
     np.testing.assert_allclose(np.asarray(d), np.asarray(ref_d), rtol=1e-12)
+    for row in range(30):
+        assert set(np.asarray(i)[row].tolist()) == set(np.asarray(ref_i)[row].tolist())
+    # col_block <= k falls back to flat selection
+    d2_, _ = knn_squared(jnp.asarray(z), 5, row_block=16, col_block=4)
+    np.testing.assert_allclose(np.asarray(d2_), np.asarray(ref_d), rtol=1e-12)
