@@ -119,6 +119,7 @@ DEVICE_SCHEMA = [
     {"path": ("device", "mesh_shape"), "default": None},  # e.g. [8] or [4, 2]
     {"path": ("device", "fused"), "default": False},  # steps 4-7 as one device program
     {"path": ("device", "exact_phasing"), "default": False},  # host Gauss-Seidel parity mode
+    {"path": ("device", "streaming_stage"), "default": "auto"},  # auto|true|false
 ]
 
 

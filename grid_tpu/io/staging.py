@@ -210,3 +210,159 @@ def stage_cohort(
         mask[i, cols] = True
 
     return CohortStage(sample_ids=sample_ids, regions=regions, values=values, mask=mask)
+
+
+# ------------------------------------------------------- streaming stager ---
+
+
+def stage_cohort_streaming(
+    mosdepth_dir,
+    samples,
+    chromosome,
+    start,
+    end,
+    excluded,
+    min_depth: float,
+    max_depth: float,
+    bin_size: int = 1000,
+    threads: int = 1,
+    console=None,
+) -> CohortStage:
+    """Bounded-memory staging for very large cohorts (single chromosome,
+    regular mosdepth bin grid).
+
+    Two passes over the files (like the reference, but with dense-array
+    accumulators instead of locked dicts): pass 1 streams each sample once,
+    folding depths into per-bin population sums/counts indexed by
+    ``start // bin_size`` and DISCARDING the arrays — O(R) accumulator
+    memory regardless of N; pass 2 re-scans each file and writes its matrix
+    row directly. Peak memory is the final [N, R_kept] matrix plus O(R),
+    instead of every sample's raw region arrays at once (the in-memory
+    stager's cost). The extra IO pass mirrors the reference's own two-pass
+    design (grid/utils/normalize_mosdepth.py:218-357).
+
+    Falls back to :func:`stage_cohort` when no chromosome filter is given or
+    the inputs are not a regular grid.
+    """
+    sample_to_bed = map_bed_gz_to_samples(mosdepth_dir, samples)
+    if not sample_to_bed:
+        raise FileNotFoundError(f"No mosdepth files found in {mosdepth_dir}")
+    if chromosome is None:
+        return stage_cohort(
+            mosdepth_dir, samples, chromosome, start, end, excluded,
+            min_depth, max_depth, threads, console,
+        )
+
+    def _scan(item):
+        sid, path = item
+        try:
+            s_, e_, d_ = read_regions_bed_gz(path, chromosome, start, end, excluded)
+            return sid, _dedupe_last_wins(s_, e_, d_)
+        except Exception:
+            z = np.empty(0, np.int64)
+            return sid, (z, z, np.empty(0, np.float64))
+
+    # ---- pass 1: dense per-bin population stats (arrays discarded) -----
+    sums = counts = ends_arr = None
+    gmin = gmax = None
+    irregular = False
+
+    def _fold(sid, arrays):
+        nonlocal sums, counts, ends_arr, gmin, gmax, irregular
+        s_, e_, d_ = arrays
+        if len(s_) == 0 or irregular:
+            return
+        if np.any(s_ % bin_size != 0):
+            irregular = True
+            return
+        lo, hi = int(s_.min()) // bin_size, int(s_.max()) // bin_size
+        if gmin is None:
+            gmin, gmax = lo, hi
+            size = gmax - gmin + 1
+            sums = np.zeros(size)
+            counts = np.zeros(size, np.int64)
+            ends_arr = np.zeros(size, np.int64)
+        else:
+            if lo < gmin:
+                pad = gmin - lo
+                sums = np.concatenate([np.zeros(pad), sums])
+                counts = np.concatenate([np.zeros(pad, np.int64), counts])
+                ends_arr = np.concatenate([np.zeros(pad, np.int64), ends_arr])
+                gmin = lo
+            if hi > gmax:
+                pad = hi - gmax
+                sums = np.concatenate([sums, np.zeros(pad)])
+                counts = np.concatenate([counts, np.zeros(pad, np.int64)])
+                ends_arr = np.concatenate([ends_arr, np.zeros(pad, np.int64)])
+                gmax = hi
+        idx = (s_ // bin_size) - gmin
+        np.add.at(sums, idx, d_)
+        np.add.at(counts, idx, 1)
+        ends_arr[idx] = e_
+
+    if threads <= 1:
+        for item in sample_to_bed.items():
+            sid, arrays = _scan(item)
+            _fold(sid, arrays)
+    else:
+        with ThreadPoolExecutor(max_workers=threads) as ex:
+            for sid, arrays in ex.map(_scan, sample_to_bed.items()):
+                _fold(sid, arrays)  # folding is serial; scanning overlaps
+
+    if irregular:
+        return stage_cohort(
+            mosdepth_dir, samples, chromosome, start, end, excluded,
+            min_depth, max_depth, threads, console,
+        )
+    if gmin is None:
+        raise ValueError("No valid samples with regions found.")
+
+    with np.errstate(invalid="ignore"):
+        means = np.where(counts > 0, sums / np.maximum(counts, 1), np.nan)
+    keep = (counts > 0) & (means >= min_depth) & (means <= max_depth)
+    col_map = np.full(len(keep), -1, np.int64)
+    col_map[keep] = np.arange(int(keep.sum()))
+    kept_bins = np.where(keep)[0]
+    regions = np.stack(
+        [(kept_bins + gmin) * bin_size, ends_arr[kept_bins]], axis=1
+    ).astype(np.int64)
+    r = len(regions)
+
+    # ---- pass 2: re-scan and write matrix rows directly -----------------
+    sample_ids = sorted(sample_to_bed.keys())
+    row_of = {sid: i for i, sid in enumerate(sample_ids)}
+    values = np.zeros((len(sample_ids), r), dtype=np.float64)
+    mask = np.zeros((len(sample_ids), r), dtype=bool)
+
+    def _fill(item):
+        sid, arrays = _scan(item)
+        s_, e_, d_ = arrays
+        if len(s_) == 0:
+            return
+        cols = col_map[(s_ // bin_size) - gmin]
+        hit = cols >= 0
+        i = row_of[sid]
+        values[i, cols[hit]] = d_[hit]
+        mask[i, cols[hit]] = True
+
+    if threads <= 1:
+        for item in sample_to_bed.items():
+            _fill(item)
+    else:
+        with ThreadPoolExecutor(max_workers=threads) as ex:
+            list(ex.map(_fill, sample_to_bed.items()))
+
+    surviving = mask.any(axis=1)
+    n_removed = int((~surviving).sum())
+    if n_removed > 0:
+        log(console, f"Removed {n_removed} samples with 0 regions", style="warning")
+    if not surviving.any():
+        raise ValueError("No valid samples with regions found.")
+
+    kept_ids = [sid for i, sid in enumerate(sample_ids) if surviving[i]]
+    return CohortStage(
+        sample_ids=kept_ids,
+        regions=regions,
+        values=values[surviving],
+        mask=mask[surviving],
+    )

@@ -37,7 +37,6 @@ from grid_tpu.io.hap_neighbors import (
     load_ibs_neighbors,
     pad_hap_neighbors,
 )
-from grid_tpu.io.staging import stage_cohort
 from grid_tpu.models.cohort import CohortParams, cohort_step
 from grid_tpu.utils.device import resolve_dtype, step_device
 from grid_tpu.utils.logging import log
@@ -80,8 +79,10 @@ def run_fused_steps(config, console=None, timer=None):
     with step_timer("fused.stage", timer, None):
         samples = read_samples(config["samples_file"])
         excluded = load_repeat_mask(ncfg.get("repeat_mask_file")) if ncfg.get("repeat_mask_file") else {}
-        stage = stage_cohort(
-            m.get("work_dir"), samples, chrom, start, end, excluded,
+        from grid_tpu.steps.normalize import _stage
+
+        stage = _stage(
+            config, samples, chrom, start, end, excluded,
             ncfg.get("min_depth", 20), ncfg.get("max_depth", 100), threads, console,
         )
         counts_file = Path(output_dir) / f"{config['count_reads'].get('output_file_prefix')}.{out_type}"

@@ -16,7 +16,6 @@ import numpy as np
 
 from grid_tpu.io.bed import load_repeat_mask
 from grid_tpu.io.formats import read_samples, write_normalized_output
-from grid_tpu.io.staging import stage_cohort
 from grid_tpu.ops.normalize import normalize_cohort, select_high_variance_indices
 from grid_tpu.utils.device import resolve_dtype, step_device
 from grid_tpu.utils.logging import log
@@ -44,8 +43,8 @@ def normalize_mosdepth(config, console=None):
     excluded = load_repeat_mask(repeat_mask) if repeat_mask else {}
 
     with step_timer("normalize.stage", console=None):
-        stage = stage_cohort(
-            mosdepth_dir, samples, chrom, start, end, excluded,
+        stage = _stage(
+            config, samples, chrom, start, end, excluded,
             min_depth, max_depth, threads, console,
         )
 
@@ -69,3 +68,23 @@ def normalize_mosdepth(config, console=None):
     )
     log(console, f"Mosdepth normalization complete. Results written to {output_path}", style="success")
     return output_path
+
+
+def _stage(config, samples, chrom, start, end, excluded, min_depth, max_depth, threads, console):
+    """Pick the staging strategy: config device.streaming_stage = auto|true|false.
+    'auto' streams for cohorts above 5000 samples (bounded-memory two-pass)."""
+    from grid_tpu.io.staging import stage_cohort, stage_cohort_streaming
+
+    mode = str(config.get("device", {}).get("streaming_stage", "auto")).lower()
+    use_stream = mode == "true" or (mode == "auto" and len(samples) > 5000)
+    if use_stream and chrom is not None:
+        return stage_cohort_streaming(
+            config.get("mosdepth", {}).get("work_dir"), samples, chrom, start, end,
+            excluded, min_depth, max_depth,
+            bin_size=config.get("mosdepth", {}).get("bin_size", 1000),
+            threads=threads, console=console,
+        )
+    return stage_cohort(
+        config.get("mosdepth", {}).get("work_dir"), samples, chrom, start, end,
+        excluded, min_depth, max_depth, threads, console,
+    )

@@ -173,3 +173,26 @@ def test_resume_invalidated_by_upstream_change(cohort, tmp_path):
     t2 = run_wgs_pipeline(console=None, config=cfg)
     assert "neighbors" in t2
     assert "compute_diploid_genotypes" in t2, "stale dipCN served from resume cache"
+
+
+def test_streaming_stage_matches_in_memory(cohort, tmp_path):
+    """The bounded-memory two-pass stager must produce the identical staged
+    matrix (and thus identical artifacts) as the in-memory stager."""
+    from grid_tpu.io.bed import load_repeat_mask
+    from grid_tpu.io.formats import read_samples
+    from grid_tpu.io.staging import stage_cohort, stage_cohort_streaming
+
+    cfg = cohort["config"]
+    samples = read_samples(cfg["samples_file"])
+    excluded = load_repeat_mask(cfg["mosdepth"]["normalize"]["repeat_mask_file"])
+    args = (
+        cfg["mosdepth"]["work_dir"], samples, cfg["chrom"], cfg["start_bp"],
+        cfg["end_bp"], excluded, cfg["mosdepth"]["normalize"]["min_depth"],
+        cfg["mosdepth"]["normalize"]["max_depth"],
+    )
+    a = stage_cohort(*args, threads=2)
+    b = stage_cohort_streaming(*args, bin_size=1000, threads=2)
+    assert a.sample_ids == b.sample_ids
+    np.testing.assert_array_equal(np.asarray(a.regions), np.asarray(b.regions))
+    np.testing.assert_array_equal(a.mask, b.mask)
+    np.testing.assert_allclose(a.values, b.values)
