@@ -111,6 +111,8 @@ STEP_SCHEMA = [
     {"path": ("compute_haploid_genotypes", "weight_scale"), "gate": ("compute_haploid_genotypes",), "default": 1_000_000},
     {"path": ("compute_haploid_genotypes", "min_length"), "gate": ("compute_haploid_genotypes",), "default": 0.5},
     {"path": ("compute_haploid_genotypes", "min_match"), "gate": ("compute_haploid_genotypes",), "default": 0.70},
+    # grid_tpu addition: neighbor-resampling bootstrap (0 = off)
+    {"path": ("compute_haploid_genotypes", "bootstrap_replicates"), "gate": ("compute_haploid_genotypes",), "default": 0},
 ]
 
 # grid_tpu device/runtime section (new; all optional).

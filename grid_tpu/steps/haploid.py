@@ -27,6 +27,7 @@ from grid_tpu.io.hap_neighbors import (
 from grid_tpu.ops.phasing import (
     compute_imputed,
     compute_imputed_host,
+    phase_bootstrap,
     phase_gauss_seidel_host,
     phase_haplotypes,
 )
@@ -114,4 +115,28 @@ def hi_inference(config, console=None):
         imp[1::2],
     )
     log(console, f"Haploid genotypes written to {output_file}", style="success")
+
+    n_boot = int(hi_cfg.get("bootstrap_replicates", 0))
+    if n_boot > 0:
+        import jax
+
+        nbr_idx, nbr_w, nbr_valid = pad_hap_neighbors(hap_nbrs, max_nbr, dtype=np.float64)
+        with step_timer("haploid.bootstrap", console=None):
+            with step_device(config, n_boot * n_iters * max(nbr_idx.size, 1)):
+                mean_b, sd_b, _ = phase_bootstrap(
+                    jax.random.PRNGKey(int(hi_cfg.get("bootstrap_seed", 0))),
+                    jnp.asarray(np.asarray(irrs)), jnp.asarray(nbr_idx),
+                    jnp.asarray(nbr_w), jnp.asarray(nbr_valid),
+                    min_nbr, n_iters, n_boot=n_boot,
+                )
+        mean_b, sd_b = np.asarray(mean_b), np.asarray(sd_b)
+        boot_file = Path(f"{output_dir}/{output_file_prefix}_bootstrap.{output_file_type}")
+        with open(boot_file, "w") as f:
+            f.write("ID\thap1_mean\thap1_sd\thap2_mean\thap2_sd\n")
+            for i, sid in enumerate(ids):
+                f.write(
+                    f"{sid}\t{mean_b[2*i]:.3f}\t{sd_b[2*i]:.3f}\t"
+                    f"{mean_b[2*i+1]:.3f}\t{sd_b[2*i+1]:.3f}\n"
+                )
+        log(console, f"Bootstrap uncertainty ({n_boot} replicates) → {boot_file}", style="success")
     return output_file

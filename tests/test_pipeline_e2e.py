@@ -196,3 +196,23 @@ def test_streaming_stage_matches_in_memory(cohort, tmp_path):
     np.testing.assert_array_equal(np.asarray(a.regions), np.asarray(b.regions))
     np.testing.assert_array_equal(a.mask, b.mask)
     np.testing.assert_allclose(a.values, b.values)
+
+
+def test_haploid_bootstrap_output(cohort, tmp_path):
+    import copy
+
+    cfg = copy.deepcopy(cohort["config"])
+    out = tmp_path / "boot"
+    out.mkdir()
+    cfg["output_dir"] = str(out)
+    (out / "read_counts.tsv").write_bytes(cohort["counts_file"].read_bytes())
+    cfg["compute_haploid_genotypes"]["bootstrap_replicates"] = 8
+    run_wgs_pipeline(console=None, config=cfg)
+    boot = out / "haploid_genotypes_bootstrap.tsv"
+    assert boot.exists()
+    lines = boot.read_text().splitlines()
+    assert lines[0] == "ID\thap1_mean\thap1_sd\thap2_mean\thap2_sd"
+    assert len(lines) == 1 + len(cohort["ids"])
+    for line in lines[1:]:
+        sds = [float(x) for x in line.split("\t")[2::2]]
+        assert all(s >= 0 or np.isnan(s) for s in sds)
