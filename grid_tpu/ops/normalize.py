@@ -85,8 +85,9 @@ def normalize_cohort(values, mask, ratio_mult: float = 100.0, n_rows=None) -> No
     col_means = masked_mean(x, mask, axis=0)  # NaN where col_cnt == 0
     safe_mu = jnp.where(col_ok, col_means, 0)
     # Denominator is total N - 1 (reference parity), not valid count.
+    # An all-invalid column keeps 0.0 (np.nansum over an all-NaN slice is 0,
+    # so the reference reports variance 0 there, not NaN).
     col_vars = masked_var_numerator(x, mask, safe_mu, axis=0) / (n_inds - 1)
-    col_vars = jnp.where(col_ok, col_vars, jnp.nan)
 
     # -- step 3: variance ratios ----------------------------------------
     mu_pos = col_ok & (safe_mu > 0)

@@ -58,8 +58,9 @@ def normalize_cohort_sharded(values, mask, mesh, n_rows=None, ratio_mult: float 
         col_means = jnp.where(col_ok, col_sum / jnp.maximum(col_cnt, 1), jnp.nan)
         safe_mu = jnp.where(col_ok, col_means, 0)
         centered = jnp.where(m, x - safe_mu[None, :], 0)
+        # all-invalid columns keep 0.0 (reference nansum semantics)
         sq_sum = jax.lax.psum(jnp.sum(centered * centered, axis=0), COHORT_AXIS)
-        col_vars = jnp.where(col_ok, sq_sum / (n_total - 1), jnp.nan)
+        col_vars = sq_sum / (n_total - 1)
 
         mu_pos = col_ok & (safe_mu > 0)
         var_ratio = jnp.where(
