@@ -131,17 +131,25 @@ def write_normalized_output(
 
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
+
+    def _fmt_row(vals, valid, fmt):
+        # vectorized %-formatting (np.char.mod uses the same C printf as
+        # f-strings, so output is byte-identical to the per-cell loop)
+        safe = np.where(valid, vals, 0.0)
+        cells = np.char.mod(fmt, safe)
+        return "\t".join(np.where(valid, cells, "NA").tolist())
+
     with gzip.open(path, "wt") as out:
-        means_str = "\t".join("NA" if np.isnan(v) else f"{v:.3f}" for v in sel_means)
-        out.write(f"{n}\t{r_want}\t{means_str}\n")
-        ratios_str = "\t".join("NA" if np.isnan(v) else f"{v:.3f}" for v in sel_ratios)
-        out.write(f"{n}\t{r_want}\t{ratios_str}\n")
+        out.write(f"{n}\t{r_want}\t" + _fmt_row(sel_means, ~np.isnan(sel_means), "%.3f") + "\n")
+        out.write(f"{n}\t{r_want}\t" + _fmt_row(sel_ratios, ~np.isnan(sel_ratios), "%.3f") + "\n")
+        z_sel = z[:, sel]
+        m_sel = mask[:, sel]
         for i, sid in enumerate(sample_ids):
-            vals = [
-                f"{z[i, j]:.2f}" if mask[i, j] else "NA"
-                for j in sel
-            ]
-            out.write(f"{sid}\t{sample_scales[i]:.2f}\t" + "\t".join(vals) + "\n")
+            out.write(
+                f"{sid}\t{sample_scales[i]:.2f}\t"
+                + _fmt_row(z_sel[i], m_sel[i], "%.2f")
+                + "\n"
+            )
 
 
 def read_normalized_data(path):
@@ -204,10 +212,16 @@ def write_neighbors(path, sample_ids, scales, nbr_ids, nbr_scales, nbr_norm_dist
     path.parent.mkdir(parents=True, exist_ok=True)
     with gzip.open(path, "wt") as out:
         for i, sid in enumerate(sample_ids):
-            line = [f"{sid}\t{scales.get(sid, 1.0):.2f}"]
-            for nid, nscale, ndist in zip(nbr_ids[i], nbr_scales[i], nbr_norm_dists[i]):
-                line.append(f"{nid}\t{nscale:.2f}\t{ndist:.2f}")
-            out.write("\t".join(line) + "\n")
+            if len(nbr_ids[i]):
+                # vectorized %.2f formatting of the scale/dist columns
+                ns = np.char.mod("%.2f", np.asarray(nbr_scales[i], dtype=float))
+                nd = np.char.mod("%.2f", np.asarray(nbr_norm_dists[i], dtype=float))
+                triplets = "\t".join(
+                    f"{nid}\t{a}\t{b}" for nid, a, b in zip(nbr_ids[i], ns, nd)
+                )
+                out.write(f"{sid}\t{scales.get(sid, 1.0):.2f}\t{triplets}\n")
+            else:
+                out.write(f"{sid}\t{scales.get(sid, 1.0):.2f}\n")
 
 
 def read_neighbors(path):
