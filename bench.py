@@ -48,6 +48,12 @@ def _sync(x):
 def bench_device(values, mask, reads, k, n_nbr, iters=20):
     import jax.numpy as jnp
 
+    # persistent compile cache: once a healthy window has compiled this
+    # shape, later runs (and degraded-tunnel windows) skip the compile
+    from grid_tpu.utils.device import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from grid_tpu.models.cohort import CohortParams, make_cohort_step
     from grid_tpu.io.hap_neighbors import pad_hap_neighbors
 
