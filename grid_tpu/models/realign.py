@@ -20,8 +20,6 @@ from __future__ import annotations
 from concurrent.futures import ThreadPoolExecutor, as_completed
 from pathlib import Path
 
-import numpy as np
-
 from grid_tpu.ops.align import classify_reads, encode_seqs
 from grid_tpu.utils.logging import log, progress_bar
 

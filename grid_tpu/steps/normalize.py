@@ -34,7 +34,6 @@ def normalize_mosdepth(config, console=None):
     output_file_type = config.get("output_file_type", "tsv")
     output_dir = config.get("output_dir", ".")
     output_path = Path(output_dir) / f"{output_file_prefix}.{output_file_type}.gz"
-    mosdepth_dir = config.get("mosdepth", {}).get("work_dir")
     min_depth = ncfg.get("min_depth", 20)
     max_depth = ncfg.get("max_depth", 100)
     top_frac = ncfg.get("top_frac", 0.1)
