@@ -94,7 +94,7 @@ class _Resume:
         self.enabled = bool(config.get("resume", False))
         self.path = Path(config.get("output_dir", ".")) / ".grid_tpu_state.json"
         self.state = {}
-        if self.enabled and self.path.exists():
+        if self.path.exists():
             try:
                 self.state = json.loads(self.path.read_text())
             except Exception:
@@ -109,8 +109,8 @@ class _Resume:
         )
 
     def mark(self, name, config, outputs):
-        if not self.enabled:
-            return
+        # always record (cheap), so the FIRST `resume: true` run benefits
+        # from state written by earlier non-resume runs
         self.state[name] = {
             "fingerprint": _step_fingerprint(name, config),
             "outputs": [str(p) for p in outputs if p],
