@@ -114,3 +114,39 @@ def test_fuzz_dipcn(seed):
             np.testing.assert_allclose(dip[i], oracle[ids[i]], rtol=1e-10)
         else:
             assert not valid[i]
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_phasing_fixed_point(seed):
+    """Jacobi (device) and Gauss-Seidel (reference order) agree at the fixed
+    point across random neighbor graphs."""
+    from grid_tpu.io.hap_neighbors import pad_hap_neighbors
+    from grid_tpu.ops import phase_haplotypes
+    from grid_tpu.ops.phasing import phase_gauss_seidel_host
+
+    rng = np.random.default_rng(300 + seed)
+    n = int(rng.integers(5, 25))
+    max_nbr = int(rng.integers(1, 6))
+    irrs = rng.uniform(0.5, 4.0, size=n).tolist()
+    hap_nbrs = []
+    for h in range(2 * n):
+        if rng.random() < 0.25:
+            hap_nbrs.append([])
+            continue
+        k = int(rng.integers(1, max_nbr + 1))
+        choices = [j for j in range(2 * n) if j // 2 != h // 2]
+        sel = rng.choice(choices, size=min(k, len(choices)), replace=False)
+        hap_nbrs.append([(int(j), float(rng.uniform(0.2, 2.0))) for j in sel])
+
+    ref_hap, ref_mean, ref_phased = phase_gauss_seidel_host(irrs, hap_nbrs, 1, 400)
+    ni, nw, nv = pad_hap_neighbors(hap_nbrs, max_nbr, dtype=np.float64)
+    res = phase_haplotypes(jnp.asarray(irrs), jnp.asarray(ni), jnp.asarray(nw),
+                           jnp.asarray(nv), 1, 400)
+    hap = np.asarray(res.hap_irrs)
+    assert list(np.asarray(res.phased)) == ref_phased
+    np.testing.assert_allclose(float(res.mean_irrs), ref_mean, rtol=1e-12)
+    for h in range(2 * n):
+        if np.isnan(ref_hap[h]):
+            assert np.isnan(hap[h])
+        else:
+            np.testing.assert_allclose(hap[h], ref_hap[h], rtol=2e-4, atol=1e-6)
