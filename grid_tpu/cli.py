@@ -192,6 +192,38 @@ def add_gen_map(map_file, genetic_map, out):
 
 
 @cli.command()
+@click.option("--vcf", type=click.Path(exists=True), help="phased VCF(.gz) panel")
+@click.option("--bgen", type=click.Path(exists=True), help="phased BGEN v1.2 panel")
+@click.option("--sample", "sample_file", type=click.Path(exists=True),
+              help="Oxford .sample file (BGEN without embedded IDs)")
+@click.option("-c", "--chrom", help="restrict the panel to one chromosome")
+@click.option("--focal-bp", required=True, type=int, help="focal position (bp)")
+@click.option("--genetic-map", type=click.Path(exists=True),
+              help="Eagle genetic map (else uniform 1 cM/Mb)")
+@click.option("-k", "--num-neighbors", default=200, show_default=True, type=int)
+@click.option("-t", "--threads", default=1, show_default=True, type=int)
+@click.option("-o", "--output", required=True, type=click.Path(),
+              help="neighbors file (.gz => gzip)")
+@click.option("--backend", default="auto", show_default=True,
+              type=click.Choice(["auto", "native", "numpy"]))
+def ibs(vcf, bgen, sample_file, chrom, focal_bp, genetic_map, num_neighbors,
+        threads, output, backend):
+    """IBS haplotype neighbors from a phased panel (native PBWT engine —
+    replaces the reference's external computeIBSpbwt tool; same output
+    format, consumed directly by hi-inference)."""
+    from grid_tpu.steps.ibs import compute_ibs_neighbors
+
+    if (vcf is None) == (bgen is None):
+        raise click.ClickException("pass exactly one of --vcf / --bgen")
+    compute_ibs_neighbors(
+        output=output, focal_bp=focal_bp, vcf=vcf, bgen=bgen,
+        sample_file=sample_file, chrom=chrom, genetic_map=genetic_map,
+        num_neighbors=num_neighbors, threads=threads, backend=backend,
+        console=_console(),
+    )
+
+
+@cli.command()
 @click.option("-C", "--aln-dir", required=True, type=click.Path(exists=True))
 @click.option("--exon-fasta", required=True, type=click.Path(exists=True),
               help="FASTA of exon references (headers: 1A, 1B_KIV3, 1B_KIV2)")
