@@ -6,7 +6,10 @@ grid/utils/utils.py:87) with a backend chain:
 1. **native** — grid_tpu's own C++ BAM reader (grid_tpu/native): BGZF
    decompression via zlib, BAI index query, and the region read-counting
    filter, all without htslib. Fastest path; BAM only.
-2. **pysam** — used when installed (adds CRAM support via htslib).
+2. **pysam** — used when installed (CRAM via htslib, fastest CRAM path).
+3. **cramlite** — grid_tpu's from-scratch CRAM 3.0 implementation
+   (grid_tpu/io/cramlite.py): pure Python + native twin, no htslib; makes
+   CRAM cohorts work with no external dependency at all.
 
 The counting filter is the reference's exactly
 (grid/utils/count_reads.py:96-107, matching the upstream C++ bin logic):
@@ -38,12 +41,19 @@ def _native():
         return None
 
 
+def _cramlite():
+    from grid_tpu.io import cramlite
+
+    return cramlite
+
+
 def available_backends() -> list[str]:
     out = []
     if _native() is not None:
         out.append("native")
     if _HAVE_PYSAM:
         out.append("pysam")
+    out.append("cramlite")
     return out
 
 
@@ -89,9 +99,12 @@ def create_index_for_file(file_path, file_type, reference_genome) -> None:
     if native is not None and ft == "BAM":
         native.build_bai(file_path, file_path + ".bai")
         return
+    if ft == "CRAM":
+        _cramlite().build_crai(file_path, file_path + ".crai")
+        return
     raise RuntimeError(
         f"No backend available to index {ft} files "
-        f"(native supports BAM; install pysam for CRAM)."
+        f"(native supports BAM; pysam or cramlite handle CRAM)."
     )
 
 
@@ -132,9 +145,15 @@ def count_reads_in_region(
                     count += 1
         return count
 
+    if path.endswith(".cram"):
+        return _cramlite().count_reads_region(
+            path, ref_fasta, chrom, start, end, flags, min_mapq
+        )
+
     raise RuntimeError(
         "No alignment backend available: native reader supports .bam; "
-        "CRAM requires pysam. Backends found: " + (", ".join(available_backends()) or "none")
+        "CRAM uses pysam or cramlite. Backends found: "
+        + (", ".join(available_backends()) or "none")
     )
 
 
@@ -179,7 +198,12 @@ def fetch_reads_region(
             seqs,
         )
 
+    if path.endswith(".cram"):
+        return _cramlite().fetch_reads_region(
+            path, ref_fasta, chrom, start, end, exclude_flags, min_mapq
+        )
+
     raise RuntimeError(
         "No alignment backend available to fetch reads: native reader "
-        "supports .bam; CRAM requires pysam."
+        "supports .bam; CRAM uses pysam or cramlite."
     )

@@ -96,12 +96,16 @@ def run_coverage_single(
             if not matches:
                 raise FileNotFoundError(f"mosdepth output missing for {sample_name}")
             regions_file = matches[0]
+    elif str(aln).endswith(".cram"):
+        from grid_tpu.io import cramlite
+
+        cramlite.binned_depth(str(aln), str(regions_file), int(by))
     else:
         native = _native_binner()
         if native is None or not str(aln).endswith(".bam"):
             raise RuntimeError(
-                "No coverage backend: install mosdepth, or provide BAM input "
-                "for the native depth binner."
+                "No coverage backend: install mosdepth, or provide BAM/CRAM "
+                "input for the built-in depth binners."
             )
         native.binned_depth(str(aln), str(regions_file), int(by))
 

@@ -64,14 +64,16 @@ def make_synthetic_cohort_with_alignments(
     reads_per_copy: float = 200.0,
     seed: int = 0,
     read_len: int = 100,
+    file_type: str = "bam",
 ):
-    """Variant producing real BAM files (via grid_tpu.io.bamlite) so the
-    index / count_reads / coverage steps run end-to-end on the native
-    ingestion path — no pysam, htslib or mosdepth binary required."""
+    """Variant producing real alignment files so the index / count_reads /
+    coverage steps run end-to-end on the built-in ingestion paths — no
+    pysam, htslib or mosdepth binary required. ``file_type`` selects BAM
+    (grid_tpu.io.bamlite) or CRAM (grid_tpu.io.cramlite)."""
     return _make_cohort(
         out_dir, n_samples, chrom, window_start, window_end, flank_bins, bin_size,
         mean_depth, depth_sd, reads_per_copy, seed, 0.0,
-        make_alignments=True, read_len=read_len,
+        make_alignments=True, read_len=read_len, file_type=file_type,
     )
 
 
@@ -181,7 +183,7 @@ def make_synthetic_phased_panel(
 def _make_cohort(
     out_dir, n_samples, chrom, window_start, window_end, flank_bins, bin_size,
     mean_depth, depth_sd, reads_per_copy, seed, missing_frac,
-    make_alignments, read_len,
+    make_alignments, read_len, file_type="bam",
 ):
     out = Path(out_dir)
     work = out / "mosdepth_workdir"
@@ -230,11 +232,9 @@ def _make_cohort(
             lam = reads_per_copy * dip_cn[i] * base_depth[i] / mean_depth
             f.write(f"{sid}\t{int(rng.poisson(lam))}\n")
 
-    # optional: real BAM alignments matching the depth model
+    # optional: real BAM/CRAM alignments matching the depth model
     aln_dir = out / "alignments"
     if make_alignments:
-        from grid_tpu.io.bamlite import encode_record, write_bam
-
         aln_dir.mkdir(parents=True, exist_ok=True)
         chrom_len = all_bins[-1][1] + 10_000
         for i, sid in enumerate(ids):
@@ -248,16 +248,33 @@ def _make_cohort(
                     int(p) for p in rng.integers(bs, max(be - read_len, bs + 1), size=n_reads)
                 )
             positions.sort()
-            recs = [
-                encode_record(
-                    0, pos, 83 if j % 2 == 0 else 147, mapq=60,
-                    read_name=f"{sid}r{j}", seq_len=read_len,
-                    next_pos=pos + 150,
-                )
-                for j, pos in enumerate(positions)
-            ]
-            bam_path = aln_dir / f"{sid}.bam"
-            write_bam(bam_path, [(chrom, chrom_len)], recs)
+            if file_type == "cram":
+                from grid_tpu.io.cramlite import CramRecord, write_cram
+
+                recs = [
+                    CramRecord(
+                        name=f"{sid}r{j}", flag=83 if j % 2 == 0 else 147,
+                        ref_id=0, pos=pos, mapq=60, rl=read_len,
+                        seq="A" * read_len, qual=b"I" * read_len,
+                        mate_ref_id=0, mate_pos=pos + 150, tlen=250,
+                    )
+                    for j, pos in enumerate(positions)
+                ]
+                # no .crai: the pipeline's index step exercises build_crai
+                write_cram(aln_dir / f"{sid}.cram", [(chrom, chrom_len)], recs,
+                           build_index=False)
+            else:
+                from grid_tpu.io.bamlite import encode_record, write_bam
+
+                recs = [
+                    encode_record(
+                        0, pos, 83 if j % 2 == 0 else 147, mapq=60,
+                        read_name=f"{sid}r{j}", seq_len=read_len,
+                        next_pos=pos + 150,
+                    )
+                    for j, pos in enumerate(positions)
+                ]
+                write_bam(aln_dir / f"{sid}.bam", [(chrom, chrom_len)], recs)
 
     # repeat mask: a region far away (exercises the path without masking bins)
     mask_file = out / "repeat_mask.bed"
@@ -316,7 +333,7 @@ def _make_cohort(
         "reference_genome": str(samples_file),  # placeholder existing file
         "output_dir": str(results),
         "threads": 2,
-        "file_type": "bam",
+        "file_type": file_type,
         "chrom": chrom,
         "start_bp": span_start,
         "end_bp": span_end,

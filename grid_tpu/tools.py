@@ -68,10 +68,17 @@ def subset_alignment(aln_path, chrom, start, end, out_path, reference_genome=Non
             pass  # no C++ toolchain: fall through to pysam
     try:
         import pysam  # type: ignore
-    except ImportError as e:
+    except ImportError:
+        if aln_path.endswith(".cram"):
+            from grid_tpu.io import cramlite
+
+            with cramlite.CramReader(aln_path, reference=reference_genome) as rd:
+                recs = list(rd.iter_records(chrom, start, end))
+                cramlite.write_cram(out_path, rd.references, recs)
+            return len(recs)
         raise RuntimeError(
-            "Subsetting needs the native library (BAM) or pysam (BAM/CRAM)"
-        ) from e
+            "Subsetting needs the native library (BAM), cramlite (CRAM), or pysam"
+        ) from None
     n = 0
     with pysam.AlignmentFile(aln_path, "rc", reference_filename=reference_genome) as fin:
         with pysam.AlignmentFile(str(out_path), "wc", template=fin,

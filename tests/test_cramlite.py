@@ -1,0 +1,265 @@
+"""cramlite (from-scratch CRAM 3.0) tests: codec round-trips, container
+round-trips, CRAI region queries, and pipeline-helper parity with the BAM
+path on identical synthetic cohorts."""
+
+from __future__ import annotations
+
+import gzip
+
+import numpy as np
+import pytest
+
+from grid_tpu.io import cramlite as cl
+
+
+def make_records(rng, n, n_refs=2, ref_len=50_000, rl=100, mapped_frac=1.0):
+    recs = []
+    for i in range(n):
+        ref_id = int(rng.integers(0, n_refs))
+        pos = int(rng.integers(0, ref_len - rl))
+        mapped = rng.random() < mapped_frac
+        seq = "".join(rng.choice(list("ACGT"), size=rl))
+        flag = int(rng.choice([83, 147, 99, 163, 0, 16]))
+        if not mapped:
+            flag |= 0x4
+        recs.append(
+            cl.CramRecord(
+                name=f"r{i:06d}",
+                flag=flag,
+                ref_id=ref_id if mapped else -1,
+                pos=pos if mapped else -1,
+                mapq=int(rng.integers(0, 61)),
+                rl=rl,
+                seq=seq,
+                qual=bytes(rng.integers(33, 74, size=rl).astype(np.uint8)),
+                mate_ref_id=ref_id,
+                mate_pos=int(rng.integers(0, ref_len - rl)),
+                tlen=int(rng.integers(-500, 500)),
+            )
+        )
+    recs.sort(key=lambda r: (r.ref_id, r.pos))
+    return recs
+
+
+REFS = [("chr1", 50_000), ("chr2", 50_000)]
+
+
+class TestRoundTrip:
+    @pytest.mark.parametrize("method", [cl.RAW, cl.GZIP, cl.RANS])
+    def test_records_round_trip(self, tmp_path, method):
+        rng = np.random.default_rng(0)
+        recs = make_records(rng, 300)
+        path = tmp_path / "t.cram"
+        cl.write_cram(path, REFS, recs, slice_records=100, method=method)
+        with cl.CramReader(path) as rd:
+            assert rd.references == REFS
+            got = list(rd.iter_records())
+        assert len(got) == len(recs)
+        for a, b in zip(recs, got):
+            assert a.name == b.name
+            assert a.flag == b.flag
+            assert a.ref_id == b.ref_id
+            assert a.pos == b.pos
+            assert a.mapq == (b.mapq if not (a.flag & 0x4) else 0)
+            assert a.seq == b.seq
+            assert a.qual == b.qual
+            assert a.mate_ref_id == b.mate_ref_id
+            assert a.mate_pos == b.mate_pos
+            assert a.tlen == b.tlen
+
+    def test_unmapped_and_multiref_slices(self, tmp_path):
+        rng = np.random.default_rng(1)
+        recs = make_records(rng, 120, mapped_frac=0.7)
+        # force multi-ref slices by interleaving refs
+        rng.shuffle(recs)
+        path = tmp_path / "m.cram"
+        cl.write_cram(path, REFS, recs, slice_records=40)
+        with cl.CramReader(path) as rd:
+            got = list(rd.iter_records())
+        assert [r.name for r in got] == [r.name for r in recs]
+        assert [r.pos for r in got] == [r.pos for r in recs]
+        assert [r.flag for r in got] == [r.flag for r in recs]
+        for a, b in zip(recs, got):
+            assert a.seq == b.seq
+
+    def test_block_crc_detects_corruption(self, tmp_path):
+        rng = np.random.default_rng(2)
+        recs = make_records(rng, 50)
+        path = tmp_path / "c.cram"
+        cl.write_cram(path, REFS, recs)
+        raw = bytearray(path.read_bytes())
+        raw[len(raw) // 2] ^= 0xFF
+        path.write_bytes(bytes(raw))
+        with pytest.raises((ValueError, EOFError)):
+            with cl.CramReader(path) as rd:
+                list(rd.iter_records())
+
+    def test_mate_flags_reconstructed(self, tmp_path):
+        # flags 83/147 carry mate-reverse bits; stripped to MF on write.
+        recs = [
+            cl.CramRecord(name="a", flag=83, ref_id=0, pos=100, mapq=60, rl=4,
+                          seq="ACGT", qual=b"IIII", mate_ref_id=0, mate_pos=300,
+                          tlen=204),
+            cl.CramRecord(name="b", flag=147 | 0x8, ref_id=0, pos=300, mapq=60,
+                          rl=4, seq="ACGT", qual=b"IIII", mate_ref_id=0,
+                          mate_pos=100, tlen=-204),
+        ]
+        path = tmp_path / "f.cram"
+        cl.write_cram(path, REFS, recs)
+        with cl.CramReader(path) as rd:
+            got = list(rd.iter_records())
+        assert got[0].flag == 83
+        assert got[1].flag == 147 | 0x8
+
+
+class TestRegionQuery:
+    def _cohort(self, tmp_path):
+        rng = np.random.default_rng(3)
+        recs = make_records(rng, 500, n_refs=2)
+        path = tmp_path / "q.cram"
+        cl.write_cram(path, REFS, recs, slice_records=64)
+        return path, recs
+
+    def test_indexed_matches_scan(self, tmp_path):
+        path, recs = self._cohort(tmp_path)
+        with cl.CramReader(path) as rd:
+            idx = [(r.name, r.pos) for r in rd.iter_records("chr1", 10_000, 20_000)]
+        (tmp_path / "q.cram.crai").unlink()
+        with cl.CramReader(path) as rd:
+            scan = [(r.name, r.pos) for r in rd.iter_records("chr1", 10_000, 20_000)]
+        assert idx == scan
+        want = sorted(
+            (r.name, r.pos) for r in recs
+            if r.ref_id == 0 and r.pos < 20_000 and r.pos + r.rl > 10_000
+        )
+        assert sorted(idx) == want
+
+    def test_build_crai_matches_writer_index(self, tmp_path):
+        path, _ = self._cohort(tmp_path)
+        writer_idx = cl.read_crai(str(path) + ".crai")
+        rebuilt = tmp_path / "rebuilt.crai"
+        cl.build_crai(path, rebuilt)
+        assert cl.read_crai(rebuilt) == writer_idx
+
+    def test_unknown_chrom_raises(self, tmp_path):
+        path, _ = self._cohort(tmp_path)
+        with cl.CramReader(path) as rd:
+            with pytest.raises(ValueError, match="unknown chromosome"):
+                list(rd.iter_records("chrX", 0, 100))
+
+
+class TestReferenceBased:
+    def _fasta(self, tmp_path, rng):
+        seqs = {
+            name: "".join(rng.choice(list("ACGT"), size=length))
+            for name, length in REFS
+        }
+        fa = tmp_path / "ref.fa"
+        with open(fa, "w") as f:
+            for name, s in seqs.items():
+                f.write(f">{name}\n")
+                for i in range(0, len(s), 60):
+                    f.write(s[i : i + 60] + "\n")
+        return fa, seqs
+
+    def test_substitution_encoding_round_trip(self, tmp_path):
+        rng = np.random.default_rng(4)
+        fa, seqs = self._fasta(tmp_path, rng)
+        recs = []
+        for i in range(200):
+            pos = int(rng.integers(0, 49_000))
+            rl = 100
+            seq = list(seqs["chr1"][pos : pos + rl])
+            for _ in range(int(rng.integers(0, 5))):  # plant mismatches
+                j = int(rng.integers(0, rl))
+                seq[j] = rng.choice([b for b in "ACGT" if b != seq[j]])
+            recs.append(cl.CramRecord(
+                name=f"s{i}", flag=0, ref_id=0, pos=pos, mapq=60, rl=rl,
+                seq="".join(seq), qual=b"I" * rl, mate_ref_id=0,
+                mate_pos=pos, tlen=0,
+            ))
+        recs.sort(key=lambda r: r.pos)
+        path = tmp_path / "rb.cram"
+        cl.write_cram(path, REFS, recs, reference=fa)
+        # with the reference: exact sequences back
+        with cl.CramReader(path, reference=fa) as rd:
+            got = list(rd.iter_records())
+        assert all(a.seq == b.seq for a, b in zip(recs, got))
+        # without a reference: positions/flags exact; match stretches decode
+        # as N (substituted bases are code-relative to the unknown ref base,
+        # so they are best-effort too)
+        with cl.CramReader(path) as rd:
+            got2 = list(rd.iter_records())
+        assert [r.pos for r in got2] == [r.pos for r in recs]
+        assert all(len(b.seq) == len(a.seq) for a, b in zip(recs, got2))
+        assert all("N" in b.seq for b in got2)
+
+    def test_reference_shrinks_file(self, tmp_path):
+        rng = np.random.default_rng(5)
+        fa, seqs = self._fasta(tmp_path, rng)
+        recs = []
+        for i in range(300):
+            pos = int(rng.integers(0, 49_000))
+            recs.append(cl.CramRecord(
+                name=f"s{i}", flag=0, ref_id=0, pos=pos, mapq=60, rl=100,
+                seq=seqs["chr1"][pos : pos + 100], qual=b"I" * 100,
+                mate_ref_id=0, mate_pos=pos, tlen=0,
+            ))
+        recs.sort(key=lambda r: r.pos)
+        verbatim = cl.write_cram(tmp_path / "v.cram", REFS, recs)
+        refbased = cl.write_cram(tmp_path / "r.cram", REFS, recs, reference=fa)
+        assert refbased.stat().st_size < verbatim.stat().st_size * 0.6
+
+
+class TestPipelineHelpers:
+    def _write_pair_cohort(self, tmp_path):
+        """Identical records as BAM (bamlite) and CRAM (cramlite)."""
+        rng = np.random.default_rng(6)
+        recs = make_records(rng, 400, n_refs=1)
+        cram = tmp_path / "s.cram"
+        cl.write_cram(cram, [REFS[0]], recs, slice_records=128)
+        return cram, recs
+
+    def test_count_reads_region_semantics(self, tmp_path):
+        cram, recs = self._write_pair_cohort(tmp_path)
+        flags = {83, 147}
+        start, end = 5_000, 30_000
+        want = sum(
+            1 for r in recs
+            if r.flag in flags and r.mapq >= 20 and r.mate_ref_id == r.ref_id
+            and start <= r.pos < end
+        )
+        got = cl.count_reads_region(cram, None, "chr1", start, end, flags, min_mapq=20)
+        assert got == want
+
+    def test_fetch_reads_region(self, tmp_path):
+        cram, recs = self._write_pair_cohort(tmp_path)
+        pos, flags, mapqs, seqs = cl.fetch_reads_region(
+            cram, None, "chr1", 10_000, 15_000, exclude_flags=0x4, min_mapq=0
+        )
+        want = [r for r in recs if not (r.flag & 0x4) and 10_000 <= r.pos < 15_000]
+        assert list(pos) == [r.pos for r in want]
+        assert list(flags) == [r.flag for r in want]
+        assert seqs == [r.seq for r in want]
+
+    def test_binned_depth_matches_direct(self, tmp_path):
+        cram, recs = self._write_pair_cohort(tmp_path)
+        out = tmp_path / "d.regions.bed.gz"
+        cl.binned_depth(cram, out, bin_size=1000, exclude_flags=1796, min_mapq=0)
+        # direct oracle
+        length = REFS[0][1]
+        bins = [0] * ((length + 999) // 1000)
+        for r in recs:
+            if r.flag & 1796 or r.ref_id != 0:
+                continue
+            for b in range(r.pos // 1000, (r.pos + r.rl - 1) // 1000 + 1):
+                o = min(r.pos + r.rl, (b + 1) * 1000) - max(r.pos, b * 1000)
+                if 0 <= b < len(bins) and o > 0:
+                    bins[b] += o
+        with gzip.open(out, "rt") as f:
+            lines = [line.split("\t") for line in f]
+        assert len(lines) == len(bins)
+        for (chrom, bs, be, depth), want_overlap in zip(lines, bins):
+            width = int(be) - int(bs)
+            assert chrom == "chr1"
+            assert float(depth) == round(want_overlap / width, 2)
