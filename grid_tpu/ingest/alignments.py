@@ -41,6 +41,15 @@ def _native():
         return None
 
 
+def _native_cram():
+    try:
+        from grid_tpu.native import cram
+
+        return cram
+    except Exception:
+        return None
+
+
 def _cramlite():
     from grid_tpu.io import cramlite
 
@@ -127,6 +136,13 @@ def count_reads_in_region(
     native = _native()
     if native is not None and path.endswith(".bam"):
         return native.count_reads_region(path, chrom, start, end, flags, min_mapq)
+    if path.endswith(".cram"):
+        ncram = _native_cram()
+        if ncram is not None:
+            try:
+                return ncram.count_reads_region(path, chrom, start, end, flags, min_mapq)
+            except IOError:
+                pass  # e.g. bzip2/lzma blocks: fall through to pysam/cramlite
 
     if _HAVE_PYSAM:
         count = 0

@@ -88,6 +88,17 @@ def _configure(l: ctypes.CDLL) -> None:
     l.grid_bam_refs.argtypes = [
         c.c_char_p, c.c_char_p, c.c_int64, c.POINTER(c.c_int32), c.c_int32
     ]
+    l.grid_cram_count.restype = c.c_int64
+    l.grid_cram_count.argtypes = [
+        c.c_char_p, c.c_char_p, c.c_int64, c.c_int64,
+        c.POINTER(c.c_int32), c.c_int32, c.c_int32,
+    ]
+    l.grid_cram_binned_depth.restype = c.c_int
+    l.grid_cram_binned_depth.argtypes = [
+        c.c_char_p, c.c_char_p, c.c_int32, c.c_int32, c.c_int32
+    ]
+    l.grid_cram_dump.restype = c.c_int64
+    l.grid_cram_dump.argtypes = [c.c_char_p, c.POINTER(c.c_int64), c.c_int64]
     l.grid_ibs_neighbors.restype = c.c_int
     l.grid_ibs_neighbors.argtypes = [
         c.POINTER(c.c_uint8), c.c_int32, c.c_int32, c.POINTER(c.c_double),

@@ -1,0 +1,1088 @@
+// Native CRAM 3.0 read path: region read counting and binned depth.
+//
+// C++ twin of grid_tpu/io/cramlite.py's reader (see its docstring for the
+// format scope) — cross-checked record-for-record against the Python
+// implementation in tests/test_cramlite_native.py. Implements containers,
+// gzip + rANS-4x8 (order 0/1) blocks, the codec suite (EXTERNAL, canonical
+// HUFFMAN, BETA, GAMMA, SUBEXP, BYTE_ARRAY_STOP/LEN), the record decode
+// loop (features consumed, sequences skipped — counting and depth need
+// positions, flags, mapq, mate refs and reference spans only), and CRAI
+// region queries. zlib is the only dependency.
+
+#include <zlib.h>
+
+#include <algorithm>
+#include <array>
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <map>
+#include <set>
+#include <string>
+#include <vector>
+
+namespace {
+
+// ---------------------------------------------------------------- cursors
+
+struct Cursor {
+  const uint8_t* p;
+  const uint8_t* end;
+  bool ok = true;
+
+  Cursor(const uint8_t* data, size_t n) : p(data), end(data + n) {}
+
+  uint8_t byte() {
+    if (p >= end) {
+      ok = false;
+      return 0;
+    }
+    return *p++;
+  }
+
+  bool read(void* dst, size_t n) {
+    if (p + n > end) {
+      ok = false;
+      return false;
+    }
+    memcpy(dst, p, n);
+    p += n;
+    return true;
+  }
+
+  bool skip(size_t n) {
+    if (p + n > end) {
+      ok = false;
+      return false;
+    }
+    p += n;
+    return true;
+  }
+
+  int32_t itf8() {
+    uint8_t b0 = byte();
+    uint32_t v;
+    if (b0 < 0x80) return (int32_t)b0;
+    if (b0 < 0xC0) {
+      v = ((uint32_t)(b0 & 0x7F) << 8) | byte();
+    } else if (b0 < 0xE0) {
+      v = ((uint32_t)(b0 & 0x3F) << 16) | ((uint32_t)byte() << 8) | byte();
+    } else if (b0 < 0xF0) {
+      v = ((uint32_t)(b0 & 0x1F) << 24) | ((uint32_t)byte() << 16) |
+          ((uint32_t)byte() << 8) | byte();
+    } else {
+      v = ((uint32_t)(b0 & 0x0F) << 28) | ((uint32_t)byte() << 20) |
+          ((uint32_t)byte() << 12) | ((uint32_t)byte() << 4) | (byte() & 0x0F);
+    }
+    return (int32_t)v;
+  }
+
+  int64_t ltf8() {
+    uint8_t b0 = byte();
+    int lead = 0;
+    for (int bit = 7; bit >= 0; --bit) {
+      if (b0 & (1 << bit))
+        ++lead;
+      else
+        break;
+    }
+    uint64_t v = lead < 8 ? (uint64_t)(b0 & (0xFF >> (lead + 1))) : 0;
+    for (int i = 0; i < lead; ++i) v = (v << 8) | byte();
+    return (int64_t)v;
+  }
+};
+
+struct BitReader {
+  const uint8_t* p = nullptr;
+  const uint8_t* end = nullptr;
+  int bit = 0;
+
+  void init(const uint8_t* data, size_t n) {
+    p = data;
+    end = data + n;
+    bit = 0;
+  }
+
+  uint32_t read_bits(int n) {
+    uint32_t v = 0;
+    for (int i = 0; i < n; ++i) {
+      uint8_t b = p < end ? *p : 0;
+      v = (v << 1) | ((b >> (7 - bit)) & 1);
+      if (++bit == 8) {
+        bit = 0;
+        ++p;
+      }
+    }
+    return v;
+  }
+};
+
+// ------------------------------------------------------------- decompress
+
+bool inflate_buf(const uint8_t* src, size_t n, std::vector<uint8_t>& out,
+                 size_t raw_size) {
+  out.resize(raw_size);
+  z_stream zs;
+  memset(&zs, 0, sizeof(zs));
+  if (inflateInit2(&zs, 15 + 32) != Z_OK) return false;  // gzip or zlib
+  zs.next_in = const_cast<uint8_t*>(src);
+  zs.avail_in = (uInt)n;
+  zs.next_out = out.data();
+  zs.avail_out = (uInt)raw_size;
+  int rc = inflate(&zs, Z_FINISH);
+  inflateEnd(&zs);
+  return rc == Z_STREAM_END && zs.total_out == raw_size;
+}
+
+// rANS 4x8 decode (CRAM codecs spec; twin of cramlite.rans_decode).
+
+constexpr int kTFShift = 12;
+constexpr uint32_t kTotFreq = 1u << kTFShift;
+constexpr uint32_t kRansL = 1u << 23;
+
+int read_freq(Cursor& c) {
+  int f = c.byte();
+  if (f >= 0x80) f = ((f & 0x7F) << 8) | c.byte();
+  return f;
+}
+
+// Ascending symbol list with run-length shorthand; calls fn(sym).
+template <typename Fn>
+bool read_sym_list(Cursor& c, Fn fn) {
+  int sym = c.byte();
+  int rle = 0;
+  while (c.ok) {
+    fn(sym);
+    int last = sym;
+    if (rle > 0) {
+      --rle;
+      sym = last + 1;
+    } else {
+      sym = c.byte();
+      if (sym == 0) return true;
+      if (sym == last + 1) rle = c.byte();
+    }
+  }
+  return false;
+}
+
+bool rans_decode(const uint8_t* src, size_t n, std::vector<uint8_t>& out) {
+  Cursor c(src, n);
+  int order = c.byte();
+  uint32_t comp_sz, out_sz;
+  if (!c.read(&comp_sz, 4) || !c.read(&out_sz, 4)) return false;
+  out.resize(out_sz);
+  if (out_sz == 0) return true;
+
+  if (order == 0) {
+    std::vector<uint32_t> freq(256, 0), cum(257, 0);
+    if (!read_sym_list(c, [&](int s) { freq[s] = read_freq(c); })) return false;
+    for (int i = 0; i < 256; ++i) cum[i + 1] = cum[i] + freq[i];
+    if (cum[256] != kTotFreq) return false;
+    std::vector<uint8_t> lookup(kTotFreq);
+    for (int s = 0; s < 256; ++s)
+      for (uint32_t m = cum[s]; m < cum[s + 1]; ++m) lookup[m] = (uint8_t)s;
+    uint32_t st[4];
+    for (auto& x : st)
+      if (!c.read(&x, 4)) return false;
+    for (uint32_t i = 0; i < out_sz; ++i) {
+      int j = i & 3;
+      uint32_t x = st[j];
+      uint32_t m = x & (kTotFreq - 1);
+      uint8_t s = lookup[m];
+      out[i] = s;
+      x = freq[s] * (x >> kTFShift) + m - cum[s];
+      while (x < kRansL && c.p < c.end) x = (x << 8) | *c.p++;
+      st[j] = x;
+    }
+    return true;
+  }
+  if (order == 1) {
+    // per-context tables, allocated on demand
+    struct Tbl {
+      std::vector<uint32_t> freq, cum;
+      std::vector<uint8_t> lookup;
+    };
+    std::vector<Tbl> tbl(256);
+    bool bad = false;
+    bool okl = read_sym_list(c, [&](int ctx) {
+      Tbl& t = tbl[ctx];
+      t.freq.assign(256, 0);
+      t.cum.assign(257, 0);
+      read_sym_list(c, [&](int s) { t.freq[s] = read_freq(c); });
+      for (int i = 0; i < 256; ++i) t.cum[i + 1] = t.cum[i] + t.freq[i];
+      if (t.cum[256] != kTotFreq) {
+        bad = true;
+        return;
+      }
+      t.lookup.resize(kTotFreq);
+      for (int s = 0; s < 256; ++s)
+        for (uint32_t m = t.cum[s]; m < t.cum[s + 1]; ++m)
+          t.lookup[m] = (uint8_t)s;
+    });
+    if (!okl || bad) return false;
+    uint32_t st[4];
+    for (auto& x : st)
+      if (!c.read(&x, 4)) return false;
+    uint32_t q = out_sz >> 2;
+    uint32_t lo[4] = {0, q, 2 * q, 3 * q};
+    uint32_t hi[4] = {q, 2 * q, 3 * q, out_sz};
+    uint8_t last[4] = {0, 0, 0, 0};
+    uint32_t maxlen = hi[3] - lo[3];
+    for (uint32_t step = 0; step < maxlen; ++step) {
+      for (int j = 0; j < 4; ++j) {
+        if (step >= hi[j] - lo[j]) continue;
+        uint32_t i = lo[j] + step;
+        Tbl& t = tbl[last[j]];
+        if (t.lookup.empty()) return false;
+        uint32_t x = st[j];
+        uint32_t m = x & (kTotFreq - 1);
+        uint8_t s = t.lookup[m];
+        out[i] = s;
+        x = t.freq[s] * (x >> kTFShift) + m - t.cum[s];
+        while (x < kRansL && c.p < c.end) x = (x << 8) | *c.p++;
+        st[j] = x;
+        last[j] = s;
+      }
+    }
+    return true;
+  }
+  return false;
+}
+
+// ----------------------------------------------------------------- blocks
+
+enum { M_RAW = 0, M_GZIP = 1, M_BZIP2 = 2, M_LZMA = 3, M_RANS = 4 };
+enum {
+  CT_FILE_HEADER = 0,
+  CT_COMP_HEADER = 1,
+  CT_SLICE_HEADER = 2,
+  CT_EXTERNAL = 4,
+  CT_CORE = 5,
+};
+
+struct Block {
+  int ctype = -1;
+  int content_id = 0;
+  std::vector<uint8_t> data;
+};
+
+bool read_block(Cursor& c, Block* b) {
+  int method = c.byte();
+  b->ctype = c.byte();
+  b->content_id = c.itf8();
+  int32_t comp_size = c.itf8();
+  int32_t raw_size = c.itf8();
+  if (!c.ok || comp_size < 0 || raw_size < 0) return false;
+  const uint8_t* payload = c.p;
+  if (!c.skip(comp_size)) return false;
+  c.skip(4);  // CRC32 (validated by the Python twin; skipped here for speed)
+  switch (method) {
+    case M_RAW:
+      b->data.assign(payload, payload + comp_size);
+      break;
+    case M_GZIP:
+      if (!inflate_buf(payload, comp_size, b->data, raw_size)) return false;
+      break;
+    case M_RANS:
+      if (!rans_decode(payload, comp_size, b->data)) return false;
+      break;
+    default:
+      return false;  // bzip2/lzma: fall back to the Python reader
+  }
+  return (int32_t)b->data.size() == raw_size;
+}
+
+struct ContainerHeader {
+  int32_t length = 0;
+  int32_t ref_id = 0;
+  int32_t start = 0;
+  int32_t span = 0;
+  int32_t n_records = 0;
+  int64_t record_counter = 0;
+  int64_t n_bases = 0;
+  int32_t n_blocks = 0;
+  std::vector<int32_t> landmarks;
+};
+
+bool read_container_header(FILE* f, ContainerHeader* h) {
+  // headers are small; buffer generously and parse with a Cursor
+  uint8_t buf[1 << 14];
+  long pos = ftell(f);
+  size_t n = fread(buf, 1, sizeof(buf), f);
+  if (n < 4) return false;
+  Cursor c(buf, n);
+  if (!c.read(&h->length, 4)) return false;
+  h->ref_id = c.itf8();
+  h->start = c.itf8();
+  h->span = c.itf8();
+  h->n_records = c.itf8();
+  h->record_counter = c.ltf8();
+  h->n_bases = c.ltf8();
+  h->n_blocks = c.itf8();
+  int32_t nl = c.itf8();
+  if (!c.ok || nl < 0 || nl > 1'000'000) return false;
+  h->landmarks.resize(nl);
+  for (auto& lm : h->landmarks) lm = c.itf8();
+  c.skip(4);  // CRC
+  if (!c.ok) return false;
+  fseek(f, pos + (long)(c.p - buf), SEEK_SET);
+  return true;
+}
+
+// -------------------------------------------------------------- encodings
+
+enum {
+  E_NULL = 0,
+  E_EXTERNAL = 1,
+  E_HUFFMAN = 3,
+  E_BYTE_ARRAY_LEN = 4,
+  E_BYTE_ARRAY_STOP = 5,
+  E_BETA = 6,
+  E_SUBEXP = 7,
+  E_GAMMA = 9,
+};
+
+struct Encoding {
+  int codec = E_NULL;
+  std::vector<uint8_t> params;
+
+  bool parse(Cursor& c) {
+    codec = c.itf8();
+    int32_t n = c.itf8();
+    if (!c.ok || n < 0) return false;
+    params.assign(c.p, c.p + n);
+    return c.skip(n);
+  }
+};
+
+struct ExtMap {
+  std::map<int, Cursor> streams;
+
+  Cursor* get(int id) {
+    auto it = streams.find(id);
+    return it == streams.end() ? nullptr : &it->second;
+  }
+};
+
+struct Codec {
+  int codec = E_NULL;
+  int content_id = 0;
+  // huffman
+  struct HuffEntry {
+    int len, code, sym;
+  };
+  std::vector<HuffEntry> huff;
+  bool is_const = false;
+  int const_val = 0;
+  // beta/gamma/subexp
+  int offset = 0, nbits = 0, k = 0;
+  // byte array
+  uint8_t stop = 0;
+  std::vector<Codec> nested;  // [len, val] for BYTE_ARRAY_LEN
+
+  bool init(const Encoding& e) {
+    codec = e.codec;
+    Cursor c(e.params.data(), e.params.size());
+    switch (e.codec) {
+      case E_EXTERNAL:
+        content_id = c.itf8();
+        break;
+      case E_HUFFMAN: {
+        int32_t na = c.itf8();
+        std::vector<int> alphabet(na);
+        for (auto& a : alphabet) a = c.itf8();
+        int32_t nl = c.itf8();
+        if (nl != na) return false;
+        std::vector<int> lens(nl);
+        for (auto& l : lens) l = c.itf8();
+        std::vector<int> order(na);
+        for (int i = 0; i < na; ++i) order[i] = i;
+        std::sort(order.begin(), order.end(), [&](int a, int b) {
+          if (lens[a] != lens[b]) return lens[a] < lens[b];
+          return alphabet[a] < alphabet[b];
+        });
+        int code = 0, prev_len = 0;
+        for (int i : order) {
+          code <<= (lens[i] - prev_len);
+          prev_len = lens[i];
+          huff.push_back({lens[i], code, alphabet[i]});
+          ++code;
+        }
+        if (na == 1 && lens[order[0]] == 0) {
+          is_const = true;
+          const_val = alphabet[order[0]];
+        }
+        break;
+      }
+      case E_BETA:
+        offset = c.itf8();
+        nbits = c.itf8();
+        break;
+      case E_GAMMA:
+        offset = c.itf8();
+        break;
+      case E_SUBEXP:
+        offset = c.itf8();
+        k = c.itf8();
+        break;
+      case E_BYTE_ARRAY_STOP:
+        stop = c.byte();
+        content_id = c.itf8();
+        break;
+      case E_BYTE_ARRAY_LEN: {
+        nested.resize(2);
+        Encoding len_e, val_e;
+        if (!len_e.parse(c) || !val_e.parse(c)) return false;
+        if (!nested[0].init(len_e) || !nested[1].init(val_e)) return false;
+        break;
+      }
+      case E_NULL:
+        break;
+      default:
+        return false;
+    }
+    return c.ok;
+  }
+
+  bool read_int(BitReader& core, ExtMap& ext, int32_t* out) const {
+    switch (codec) {
+      case E_EXTERNAL: {
+        Cursor* s = ext.get(content_id);
+        if (!s) return false;
+        *out = s->itf8();
+        return s->ok;
+      }
+      case E_HUFFMAN: {
+        if (is_const) {
+          *out = const_val;
+          return true;
+        }
+        int code = 0, ln = 0;
+        for (const auto& h : huff) {
+          code = (code << (h.len - ln)) | (int)core.read_bits(h.len - ln);
+          ln = h.len;
+          if (code == h.code) {
+            *out = h.sym;
+            return true;
+          }
+        }
+        return false;
+      }
+      case E_BETA:
+        *out = (int32_t)core.read_bits(nbits) - offset;
+        return true;
+      case E_GAMMA: {
+        int z = 0;
+        while (core.read_bits(1) == 0 && z < 32) ++z;
+        int v = z ? (int)((1u << z) | core.read_bits(z)) : 1;
+        *out = v - offset;
+        return true;
+      }
+      case E_SUBEXP: {
+        int u = 0;
+        while (core.read_bits(1) == 1 && u < 32) ++u;
+        int v;
+        if (u == 0) {
+          v = (int)core.read_bits(k);
+        } else {
+          int n = u + k - 1;
+          v = (int)core.read_bits(n) + (1 << n);
+        }
+        *out = v - offset;
+        return true;
+      }
+      default:
+        return false;
+    }
+  }
+
+  bool read_byte(BitReader& core, ExtMap& ext, uint8_t* out) const {
+    if (codec == E_EXTERNAL) {
+      Cursor* s = ext.get(content_id);
+      if (!s) return false;
+      *out = s->byte();
+      return s->ok;
+    }
+    int32_t v;
+    if (!read_int(core, ext, &v)) return false;
+    *out = (uint8_t)v;
+    return true;
+  }
+
+  // Consume a byte array (content discarded); returns length or -1.
+  int skip_bytes(BitReader& core, ExtMap& ext, int n = -1) const {
+    if (codec == E_BYTE_ARRAY_STOP) {
+      Cursor* s = ext.get(content_id);
+      if (!s) return -1;
+      const uint8_t* q =
+          (const uint8_t*)memchr(s->p, stop, (size_t)(s->end - s->p));
+      if (!q) return -1;
+      int len = (int)(q - s->p);
+      s->p = q + 1;
+      return len;
+    }
+    if (codec == E_BYTE_ARRAY_LEN) {
+      int32_t len;
+      if (!nested[0].read_int(core, ext, &len) || len < 0) return -1;
+      return nested[1].skip_bytes(core, ext, len) < 0 ? -1 : len;
+    }
+    if (codec == E_EXTERNAL) {
+      if (n < 0) return -1;
+      Cursor* s = ext.get(content_id);
+      if (!s || !s->skip(n)) return -1;
+      return n;
+    }
+    if (n < 0) return -1;
+    uint8_t b;
+    for (int i = 0; i < n; ++i)
+      if (!read_byte(core, ext, &b)) return -1;
+    return n;
+  }
+};
+
+// ------------------------------------------------------ compression header
+
+struct CompHeader {
+  bool ap_delta = true;
+  bool rn_preserved = true;
+  std::map<std::string, Encoding> series;
+  std::map<int, Encoding> tag_enc;
+  std::vector<std::vector<int>> tag_dict;  // TL -> list of tag keys
+
+  bool parse(const std::vector<uint8_t>& data) {
+    Cursor c(data.data(), data.size());
+    c.itf8();  // preservation map byte size
+    int32_t n = c.itf8();
+    for (int i = 0; i < n && c.ok; ++i) {
+      char k0 = (char)c.byte(), k1 = (char)c.byte();
+      std::string key{k0, k1};
+      if (key == "RN")
+        rn_preserved = c.byte() != 0;
+      else if (key == "AP")
+        ap_delta = c.byte() != 0;
+      else if (key == "RR")
+        c.byte();
+      else if (key == "SM")
+        c.skip(5);
+      else if (key == "TD") {
+        int32_t len = c.itf8();
+        const uint8_t* td = c.p;
+        if (!c.skip(len)) return false;
+        std::vector<int> line;
+        for (int32_t j = 0; j < len;) {
+          if (td[j] == 0) {
+            tag_dict.push_back(line);
+            line.clear();
+            ++j;
+          } else {
+            if (j + 3 > len) return false;
+            line.push_back(((int)td[j] << 16) | ((int)td[j + 1] << 8) |
+                           (int)td[j + 2]);
+            j += 3;
+          }
+        }
+      } else {
+        return false;
+      }
+    }
+    c.itf8();
+    n = c.itf8();
+    for (int i = 0; i < n && c.ok; ++i) {
+      char k0 = (char)c.byte(), k1 = (char)c.byte();
+      Encoding e;
+      if (!e.parse(c)) return false;
+      series[std::string{k0, k1}] = e;
+    }
+    c.itf8();
+    n = c.itf8();
+    for (int i = 0; i < n && c.ok; ++i) {
+      int key = c.itf8();
+      Encoding e;
+      if (!e.parse(c)) return false;
+      tag_enc[key] = e;
+    }
+    if (tag_dict.empty()) tag_dict.push_back({});
+    return c.ok;
+  }
+};
+
+// ----------------------------------------------------------- slice header
+
+struct SliceHeader {
+  int32_t ref_id = 0;
+  int32_t start = 0;
+  int32_t span = 0;
+  int32_t n_records = 0;
+  int32_t n_blocks = 0;
+
+  bool parse(const std::vector<uint8_t>& data) {
+    Cursor c(data.data(), data.size());
+    ref_id = c.itf8();
+    start = c.itf8();
+    span = c.itf8();
+    n_records = c.itf8();
+    c.ltf8();  // record counter
+    n_blocks = c.itf8();
+    int32_t nids = c.itf8();
+    for (int i = 0; i < nids; ++i) c.itf8();
+    c.itf8();    // embedded ref id
+    c.skip(16);  // md5
+    return c.ok;
+  }
+};
+
+// -------------------------------------------------------------- records
+
+struct LiteRec {
+  int32_t ref_id = -1;
+  int64_t pos = -1;  // 0-based
+  int32_t flag = 0;
+  int32_t mapq = 0;
+  int32_t mate_ref = -1;
+  int32_t ref_len = 0;
+  int32_t nf = -1;  // mate-downstream distance (resolved after the loop)
+};
+
+struct SliceDecoder {
+  const CompHeader& comp;
+  std::map<std::string, Codec> codecs;
+  std::map<int, Codec> tag_codecs;
+  BitReader core;
+  ExtMap ext;
+  bool failed = false;
+
+  explicit SliceDecoder(const CompHeader& ch) : comp(ch) {}
+
+  Codec* get(const std::string& key) {
+    auto it = codecs.find(key);
+    if (it != codecs.end()) return &it->second;
+    auto se = comp.series.find(key);
+    if (se == comp.series.end()) return nullptr;
+    Codec cd;
+    if (!cd.init(se->second)) return nullptr;
+    return &codecs.emplace(key, std::move(cd)).first->second;
+  }
+
+  bool rint(const char* key, int32_t* out) {
+    Codec* cd = get(key);
+    return cd && cd->read_int(core, ext, out);
+  }
+
+  bool rbyte(const char* key, uint8_t* out) {
+    Codec* cd = get(key);
+    return cd && cd->read_byte(core, ext, out);
+  }
+
+  int rskip(const char* key, int n = -1) {
+    Codec* cd = get(key);
+    return cd ? cd->skip_bytes(core, ext, n) : -1;
+  }
+
+  bool decode(const SliceHeader& sh, std::vector<LiteRec>& out) {
+    int64_t prev_ap = sh.start;
+    size_t base = out.size();
+    for (int32_t i = 0; i < sh.n_records; ++i) {
+      LiteRec r;
+      int32_t bf, cf, rl, ap, dummy;
+      if (!rint("BF", &bf) || !rint("CF", &cf)) return false;
+      if (sh.ref_id == -2) {
+        if (!rint("RI", &r.ref_id)) return false;
+      } else {
+        r.ref_id = sh.ref_id;
+      }
+      if (!rint("RL", &rl)) return false;
+      if (!rint("AP", &ap)) return false;
+      if (comp.ap_delta) {
+        ap += (int32_t)prev_ap;
+        prev_ap = ap;
+      }
+      r.pos = (int64_t)ap - 1;
+      if (!rint("RG", &dummy)) return false;
+      if (comp.rn_preserved && rskip("RN") < 0) return false;
+      int32_t mf = 0;
+      if (cf & 0x2) {  // detached
+        int32_t np, ts;
+        if (!rint("MF", &mf)) return false;
+        if (!comp.rn_preserved && rskip("RN") < 0) return false;
+        if (!rint("NS", &r.mate_ref) || !rint("NP", &np) || !rint("TS", &ts))
+          return false;
+      } else if (cf & 0x4) {  // mate downstream
+        if (!rint("NF", &r.nf)) return false;
+      }
+      int32_t tl;
+      if (!rint("TL", &tl)) return false;
+      if (tl < 0 || tl >= (int32_t)comp.tag_dict.size()) return false;
+      for (int key : comp.tag_dict[tl]) {
+        auto it = tag_codecs.find(key);
+        if (it == tag_codecs.end()) {
+          auto te = comp.tag_enc.find(key);
+          if (te == comp.tag_enc.end()) return false;
+          Codec cd;
+          if (!cd.init(te->second)) return false;
+          it = tag_codecs.emplace(key, std::move(cd)).first;
+        }
+        if (it->second.skip_bytes(core, ext) < 0) return false;
+      }
+
+      if (!(bf & 0x4)) {  // mapped
+        int32_t fn;
+        if (!rint("FN", &fn)) return false;
+        int32_t ref_len = rl;
+        for (int32_t f = 0; f < fn; ++f) {
+          uint8_t fc;
+          int32_t fp, op;
+          uint8_t ob;
+          if (!rbyte("FC", &fc) || !rint("FP", &fp)) return false;
+          int len;
+          switch ((char)fc) {
+            case 'B':
+              if (!rbyte("BA", &ob) || !rbyte("QS", &ob)) return false;
+              break;
+            case 'X':
+              if (!rbyte("BS", &ob)) return false;
+              break;
+            case 'I':
+              if ((len = rskip("IN")) < 0) return false;
+              ref_len -= len;
+              break;
+            case 'S':
+              if ((len = rskip("SC")) < 0) return false;
+              ref_len -= len;
+              break;
+            case 'b':
+              if ((len = rskip("BB")) < 0) return false;
+              break;
+            case 'q':
+              if (rskip("QQ") < 0) return false;
+              break;
+            case 'D':
+              if (!rint("DL", &op)) return false;
+              ref_len += op;
+              break;
+            case 'N':
+              if (!rint("RS", &op)) return false;
+              ref_len += op;
+              break;
+            case 'P':
+              if (!rint("PD", &op)) return false;
+              break;
+            case 'H':
+              if (!rint("HC", &op)) return false;
+              break;
+            case 'i':
+              if (!rbyte("BA", &ob)) return false;
+              ref_len -= 1;
+              break;
+            case 'Q':
+              if (!rbyte("QS", &ob)) return false;
+              break;
+            default:
+              return false;
+          }
+        }
+        r.ref_len = ref_len > 0 ? ref_len : 0;
+        if (!rint("MQ", &r.mapq)) return false;
+        if (cf & 0x1) {
+          if (rskip("QS", rl) < 0) return false;
+        }
+      } else {  // unmapped
+        if (!(cf & 0x8)) {
+          if (rskip("BA", rl) < 0) return false;
+        }
+        if (cf & 0x1) {
+          if (rskip("QS", rl) < 0) return false;
+        }
+      }
+      r.flag = bf | ((mf & 1) ? 0x20 : 0) | ((mf & 2) ? 0x8 : 0);
+      out.push_back(r);
+    }
+    // resolve mate-downstream refs + flags
+    for (size_t i = base; i < out.size(); ++i) {
+      if (out[i].nf < 0) continue;
+      size_t j = i + (size_t)out[i].nf + 1;
+      if (j >= out.size()) continue;
+      out[i].mate_ref = out[j].ref_id;
+      out[j].mate_ref = out[i].ref_id;
+      out[i].flag |= ((out[j].flag & 0x10) ? 0x20 : 0) | ((out[j].flag & 0x4) ? 0x8 : 0);
+      out[j].flag |= ((out[i].flag & 0x10) ? 0x20 : 0) | ((out[i].flag & 0x4) ? 0x8 : 0);
+    }
+    return true;
+  }
+};
+
+// ----------------------------------------------------------------- reader
+
+struct CramFile {
+  FILE* f = nullptr;
+  std::vector<std::pair<std::string, int64_t>> refs;
+  long data_start = 0;
+  std::string path;
+
+  ~CramFile() {
+    if (f) fclose(f);
+  }
+
+  bool open(const char* p) {
+    path = p;
+    f = fopen(p, "rb");
+    if (!f) return false;
+    uint8_t magic[6];
+    if (fread(magic, 1, 6, f) != 6 || memcmp(magic, "CRAM", 4) != 0)
+      return false;
+    if (magic[4] != 2 && magic[4] != 3) return false;
+    fseek(f, 20, SEEK_CUR);  // file id
+    ContainerHeader h;
+    if (!read_container_header(f, &h)) return false;
+    std::vector<uint8_t> body(h.length);
+    if (fread(body.data(), 1, body.size(), f) != body.size()) return false;
+    Cursor c(body.data(), body.size());
+    Block b;
+    if (!read_block(c, &b) || b.ctype != CT_FILE_HEADER) return false;
+    if (b.data.size() < 4) return false;
+    int32_t text_len;
+    memcpy(&text_len, b.data.data(), 4);
+    if (text_len < 0 || 4 + (size_t)text_len > b.data.size()) return false;
+    std::string text((const char*)b.data.data() + 4, (size_t)text_len);
+    size_t lpos = 0;
+    while (lpos < text.size()) {
+      size_t eol = text.find('\n', lpos);
+      if (eol == std::string::npos) eol = text.size();
+      std::string line = text.substr(lpos, eol - lpos);
+      lpos = eol + 1;
+      if (line.rfind("@SQ", 0) != 0) continue;
+      std::string name;
+      int64_t len = 0;
+      size_t tpos = 0;
+      while (tpos < line.size()) {
+        size_t tab = line.find('\t', tpos);
+        if (tab == std::string::npos) tab = line.size();
+        std::string fieldv = line.substr(tpos, tab - tpos);
+        tpos = tab + 1;
+        if (fieldv.rfind("SN:", 0) == 0) name = fieldv.substr(3);
+        if (fieldv.rfind("LN:", 0) == 0) len = atoll(fieldv.c_str() + 3);
+      }
+      if (!name.empty()) refs.emplace_back(name, len);
+    }
+    data_start = ftell(f);
+    return true;
+  }
+
+  int32_t ref_index(const char* chrom) const {
+    for (size_t i = 0; i < refs.size(); ++i)
+      if (refs[i].first == chrom) return (int32_t)i;
+    return -1;
+  }
+
+  // Decode selected slices of the container body (all when landmarks empty).
+  bool decode_container(const ContainerHeader& h, const std::vector<uint8_t>& body,
+                        const std::vector<int32_t>& landmarks,
+                        std::vector<LiteRec>& out) {
+    Cursor c(body.data(), body.size());
+    Block cb;
+    if (!read_block(c, &cb) || cb.ctype != CT_COMP_HEADER) return false;
+    CompHeader comp;
+    if (!comp.parse(cb.data)) return false;
+    const std::vector<int32_t>& lms =
+        landmarks.empty() ? h.landmarks : landmarks;
+    for (int32_t lm : lms) {
+      if (lm < 0 || (size_t)lm >= body.size()) return false;
+      Cursor sc(body.data() + lm, body.size() - lm);
+      Block shb;
+      if (!read_block(sc, &shb) || shb.ctype != CT_SLICE_HEADER) return false;
+      SliceHeader sh;
+      if (!sh.parse(shb.data)) return false;
+      SliceDecoder dec(comp);
+      std::vector<Block> blocks(sh.n_blocks);
+      for (auto& b : blocks) {
+        if (!read_block(sc, &b)) return false;
+        if (b.ctype == CT_CORE)
+          dec.core.init(b.data.data(), b.data.size());
+        else if (b.ctype == CT_EXTERNAL)
+          dec.ext.streams.emplace(b.content_id,
+                                  Cursor(b.data.data(), b.data.size()));
+      }
+      if (!dec.decode(sh, out)) return false;
+    }
+    return true;
+  }
+
+  // Iterate containers; cb returns false to stop.
+  template <typename Fn>
+  int for_each_container(Fn fn) {
+    fseek(f, data_start, SEEK_SET);
+    for (;;) {
+      ContainerHeader h;
+      long at = ftell(f);
+      if (!read_container_header(f, &h)) return 0;
+      std::vector<uint8_t> body(h.length);
+      if (h.length &&
+          fread(body.data(), 1, body.size(), f) != body.size())
+        return -10;
+      if (h.n_records == 0) {
+        if (h.ref_id == -1 && h.start == 4542278) return 0;  // EOF marker
+        continue;
+      }
+      int rc = fn(h, body, at);
+      if (rc != 0) return rc < 0 ? rc : 0;
+    }
+  }
+};
+
+// CRAI parse (gzip text).
+bool read_crai(const std::string& path,
+               std::vector<std::array<int64_t, 6>>& out) {
+  gzFile g = gzopen(path.c_str(), "rb");
+  if (!g) return false;
+  char line[512];
+  while (gzgets(g, line, sizeof(line))) {
+    std::array<int64_t, 6> e{};
+    if (sscanf(line, "%ld %ld %ld %ld %ld %ld", &e[0], &e[1], &e[2], &e[3],
+               &e[4], &e[5]) == 6)
+      out.push_back(e);
+  }
+  gzclose(g);
+  return true;
+}
+
+bool collect_region_records(CramFile& cf, int32_t ref_id, int64_t start,
+                            int64_t end, std::vector<LiteRec>& recs) {
+  std::string crai = cf.path + ".crai";
+  std::vector<std::array<int64_t, 6>> entries;
+  FILE* probe = fopen(crai.c_str(), "rb");
+  bool have_index = probe != nullptr;
+  if (probe) fclose(probe);
+  if (have_index && read_crai(crai, entries)) {
+    std::map<int64_t, std::vector<int32_t>> hits;
+    for (const auto& e : entries) {
+      if (e[0] == -2 || (e[0] == ref_id && e[1] <= end && e[1] + e[2] > start))
+        hits[e[3]].push_back((int32_t)e[4]);
+    }
+    for (const auto& [c_off, lms] : hits) {
+      fseek(cf.f, (long)c_off, SEEK_SET);
+      ContainerHeader h;
+      if (!read_container_header(cf.f, &h)) return false;
+      std::vector<uint8_t> body(h.length);
+      if (fread(body.data(), 1, body.size(), cf.f) != body.size())
+        return false;
+      std::vector<int32_t> uniq(lms.begin(), lms.end());
+      std::sort(uniq.begin(), uniq.end());
+      uniq.erase(std::unique(uniq.begin(), uniq.end()), uniq.end());
+      if (!cf.decode_container(h, body, uniq, recs)) return false;
+    }
+    return true;
+  }
+  // full scan
+  int rc = cf.for_each_container(
+      [&](const ContainerHeader& h, const std::vector<uint8_t>& body, long) {
+        return cf.decode_container(h, body, {}, recs) ? 0 : -11;
+      });
+  return rc == 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Count reads in [start, end) with the reference filter semantics
+// (flag in set, mapq >= min_mapq, mate on same ref, not dup/secondary,
+// start <= pos < end). Returns the count, or a negative error code.
+int64_t grid_cram_count(const char* path, const char* chrom, int64_t start,
+                        int64_t end, const int32_t* flags, int32_t n_flags,
+                        int32_t min_mapq) {
+  CramFile cf;
+  if (!cf.open(path)) return -1;
+  int32_t ref_id = cf.ref_index(chrom);
+  if (ref_id < 0) return -4;
+  std::vector<LiteRec> recs;
+  if (!collect_region_records(cf, ref_id, start, end, recs)) return -2;
+  std::set<int32_t> fset(flags, flags + n_flags);
+  int64_t n = 0;
+  for (const auto& r : recs) {
+    if (r.ref_id != ref_id) continue;
+    if (!fset.count(r.flag)) continue;
+    if (r.mapq < min_mapq) continue;
+    if (r.mate_ref != r.ref_id) continue;
+    if (r.flag & (0x400 | 0x100)) continue;
+    if (r.pos < start || r.pos >= end) continue;
+    ++n;
+  }
+  return n;
+}
+
+// mosdepth-fast-mode binned depth over the whole file -> bed.gz
+// (same overlap math as grid_bam_binned_depth).
+int grid_cram_binned_depth(const char* path, const char* out_path,
+                           int32_t bin_size, int32_t exclude_flags,
+                           int32_t min_mapq) {
+  CramFile cf;
+  if (!cf.open(path)) return -1;
+  std::vector<std::vector<int64_t>> overlap(cf.refs.size());
+  for (size_t i = 0; i < cf.refs.size(); ++i)
+    overlap[i].assign((size_t)((cf.refs[i].second + bin_size - 1) / bin_size), 0);
+
+  std::vector<LiteRec> recs;
+  int rc = cf.for_each_container(
+      [&](const ContainerHeader& h, const std::vector<uint8_t>& body, long) {
+        recs.clear();
+        if (!cf.decode_container(h, body, {}, recs)) return -11;
+        for (const auto& r : recs) {
+          if (r.ref_id < 0 || r.ref_id >= (int32_t)cf.refs.size()) continue;
+          if (r.flag & exclude_flags) continue;
+          if (r.mapq < min_mapq) continue;
+          int64_t beg = r.pos;
+          int64_t endp = r.pos + (r.ref_len > 0 ? r.ref_len : 0);
+          if (endp <= beg) continue;
+          auto& bins = overlap[r.ref_id];
+          for (int64_t b = beg / bin_size;
+               b <= (endp - 1) / bin_size && b < (int64_t)bins.size(); ++b) {
+            int64_t bs = b * bin_size, be = bs + bin_size;
+            int64_t o = std::min(endp, be) - std::max(beg, bs);
+            if (o > 0) bins[b] += o;
+          }
+        }
+        return 0;
+      });
+  if (rc != 0) return rc;
+
+  gzFile out = gzopen(out_path, "wb");
+  if (!out) return -3;
+  for (size_t i = 0; i < cf.refs.size(); ++i) {
+    for (size_t b = 0; b < overlap[i].size(); ++b) {
+      int64_t bs = (int64_t)b * bin_size;
+      int64_t be = std::min<int64_t>(bs + bin_size, cf.refs[i].second);
+      double depth = (double)overlap[i][b] / (double)(be - bs);
+      gzprintf(out, "%s\t%lld\t%lld\t%.2f\n", cf.refs[i].first.c_str(),
+               (long long)bs, (long long)be, depth);
+    }
+  }
+  gzclose(out);
+  return 0;
+}
+
+// Flat record dump for twin tests: per record writes
+// (ref_id, pos, flag, mapq, mate_ref, ref_len) into out (capacity cap
+// records). Returns record count or negative error.
+int64_t grid_cram_dump(const char* path, int64_t* out, int64_t cap) {
+  CramFile cf;
+  if (!cf.open(path)) return -1;
+  std::vector<LiteRec> recs;
+  int rc = cf.for_each_container(
+      [&](const ContainerHeader& h, const std::vector<uint8_t>& body, long) {
+        return cf.decode_container(h, body, {}, recs) ? 0 : -11;
+      });
+  if (rc != 0) return rc;
+  int64_t n = std::min<int64_t>((int64_t)recs.size(), cap);
+  for (int64_t i = 0; i < n; ++i) {
+    out[i * 6 + 0] = recs[i].ref_id;
+    out[i * 6 + 1] = recs[i].pos;
+    out[i * 6 + 2] = recs[i].flag;
+    out[i * 6 + 3] = recs[i].mapq;
+    out[i * 6 + 4] = recs[i].mate_ref;
+    out[i * 6 + 5] = recs[i].ref_len;
+  }
+  return (int64_t)recs.size();
+}
+
+}  // extern "C"

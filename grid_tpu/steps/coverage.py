@@ -97,9 +97,14 @@ def run_coverage_single(
                 raise FileNotFoundError(f"mosdepth output missing for {sample_name}")
             regions_file = matches[0]
     elif str(aln).endswith(".cram"):
-        from grid_tpu.io import cramlite
+        try:
+            from grid_tpu.native import cram as native_cram
 
-        cramlite.binned_depth(str(aln), str(regions_file), int(by))
+            native_cram.binned_depth(str(aln), str(regions_file), int(by))
+        except Exception:  # no toolchain / unsupported block codec
+            from grid_tpu.io import cramlite
+
+            cramlite.binned_depth(str(aln), str(regions_file), int(by))
     else:
         native = _native_binner()
         if native is None or not str(aln).endswith(".bam"):
