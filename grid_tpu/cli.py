@@ -60,6 +60,21 @@ def wgs(config, no_validate):
     run_wgs_pipeline(console, config, validate=not no_validate)
 
 
+@cli.command()
+@click.argument("config", type=click.Path(exists=True))
+@click.option("--no-validate", is_flag=True, help="Skip config validation.")
+def wes(config, no_validate):
+    """Run the exome (WES) KIV-2 pipeline from a YAML CONFIG: exon
+    realignment -> per-exon dipCN -> KIV-2 estimates. (The reference ships
+    this only as a commented-out stub, grid/cli.py:94-113; here it works.)"""
+    console = _console()
+    if console:
+        console.print(BANNER, style="info")
+    from grid_tpu.pipeline import run_wes_pipeline
+
+    run_wes_pipeline(console, config, validate=not no_validate)
+
+
 def _step_command(name, help_text, import_path):
     """Register a per-step subcommand running one pipeline step from CONFIG."""
 
@@ -94,30 +109,13 @@ _step_command("hi-inference", "Infer haplotype copy numbers (IBS/IBD).", ("grid_
 @click.option("-o", "--output", required=True, type=click.Path(), help="output TSV")
 def estimate_kiv(exon1a, exon1b, output):
     """KIV2 CN estimates from exon dipCNs: 34.9*exon1A + 5.2*exon1B - 1."""
-    from pathlib import Path
+    from grid_tpu.models.kiv import estimate_kiv_files
 
-    from grid_tpu.io.formats import read_dipcn
-    from grid_tpu.models.kiv import estimate_kiv2
-
-    ids_a, vals_a, _ = read_dipcn(exon1a)
-    ids_b, vals_b, _ = read_dipcn(exon1b)
-    a = dict(zip(ids_a, vals_a))
-    b = dict(zip(ids_b, vals_b))
-    overlap = sorted(set(a) & set(b))
-    if not overlap:
-        raise click.ClickException("No overlapping samples between exon files")
-    import numpy as np
-
-    dip, hap = estimate_kiv2(
-        np.array([a[s] for s in overlap]), np.array([b[s] for s in overlap])
-    )
-    out = Path(output)
-    out.parent.mkdir(parents=True, exist_ok=True)
-    with open(out, "w") as f:
-        f.write("ID\texon1A\texon1B\tdip_estimate\testimate\n")
-        for i, s in enumerate(overlap):
-            f.write(f"{s}\t{a[s]:.6f}\t{b[s]:.6f}\t{dip[i]:.4f}\t{hap[i]:.4f}\n")
-    log(_console(), f"KIV2 estimates for {len(overlap)} samples → {out}", style="success")
+    try:
+        n = estimate_kiv_files(exon1a, exon1b, output)
+    except ValueError as e:
+        raise click.ClickException(str(e))
+    log(_console(), f"KIV2 estimates for {n} samples → {output}", style="success")
 
 
 @cli.command()

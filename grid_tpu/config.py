@@ -125,6 +125,24 @@ DEVICE_SCHEMA = [
 ]
 
 
+# WES (exome) pipeline schema — the reference's commented-out `WES(config)`
+# stub (grid/cli.py:94-113) names a run_wes_pipeline that never existed;
+# grid_tpu implements it over the working exon-realignment path
+# (realign -> per-exon dipCN -> KIV-2 estimate).
+WES_SCHEMA = [
+    {"path": ("index", "output_file_prefix"), "default": "index_file_results"},
+    {"path": ("realign", "exon_fasta"), "gate": ("realign",), "required": True, "is_file": True},
+    {"path": ("realign", "output_file_prefix"), "gate": ("realign",), "default": "exon_counts"},
+    {"path": ("realign", "min_score"), "gate": ("realign",), "default": 30},
+    {"path": ("realign", "margin"), "gate": ("realign",), "default": 3},
+    {"path": ("exon_dipcn", "neighbors_file"), "gate": ("exon_dipcn",), "required": True, "is_file": True},
+    {"path": ("exon_dipcn", "n_neighbors"), "gate": ("exon_dipcn",), "default": 200},
+    {"path": ("exon_dipcn", "exon_types"), "gate": ("exon_dipcn",), "default": ["1A", "1B"]},
+    {"path": ("exon_dipcn", "output_file_prefix"), "gate": ("exon_dipcn",), "default": "exon_dipcn"},
+    {"path": ("estimate_kiv", "output_file_prefix"), "gate": ("estimate_kiv",), "default": "kiv2_estimates"},
+]
+
+
 def load_config(path) -> dict:
     """Load a YAML config file into a dict."""
     with open(path, "r") as f:
@@ -162,8 +180,8 @@ def validate_top_level(config, errors, warnings):
             errors.append(f"File not found: {key} = {val}")
 
 
-def validate_steps(config, errors, warnings):
-    for entry in STEP_SCHEMA + DEVICE_SCHEMA:
+def validate_steps(config, errors, warnings, schema=None):
+    for entry in (STEP_SCHEMA if schema is None else schema) + DEVICE_SCHEMA:
         gate = entry.get("gate")
         if gate and not _is_enabled(config, gate):
             continue
@@ -179,7 +197,7 @@ def validate_steps(config, errors, warnings):
 
     # Q3 parity warning: count_reads.min_mapq is silently ignored by the step
     # (top-level min_mapq is used, ref grid/utils/count_reads.py:24).
-    if _is_enabled(config, ("count_reads",)):
+    if schema is None and _is_enabled(config, ("count_reads",)):
         step_mapq = _get_nested(config, "count_reads", "min_mapq")
         top_mapq = config.get("min_mapq", 1)
         if step_mapq is not None and step_mapq != top_mapq:
@@ -189,7 +207,7 @@ def validate_steps(config, errors, warnings):
             )
 
 
-def error_check_config(config, console=None):
+def error_check_config(config, console=None, schema=None):
     """Validate a config dict; raise ValueError on errors, warn on defaults.
 
     Same contract as the reference validator (grid/config.py:182-201) —
@@ -199,7 +217,7 @@ def error_check_config(config, console=None):
     warnings: list[str] = []
 
     validate_top_level(config, errors, warnings)
-    validate_steps(config, errors, warnings)
+    validate_steps(config, errors, warnings, schema)
 
     if errors:
         for e in errors:
@@ -216,7 +234,7 @@ def error_check_config(config, console=None):
         )
 
 
-def apply_defaults(config: dict) -> dict:
+def apply_defaults(config: dict, schema=None) -> dict:
     """Return a deep-copied config with schema defaults filled in.
 
     The reference surfaces defaults as warnings but each step re-implements
@@ -226,7 +244,7 @@ def apply_defaults(config: dict) -> dict:
     import copy
 
     cfg = copy.deepcopy(config)
-    for entry in STEP_SCHEMA + DEVICE_SCHEMA:
+    for entry in (STEP_SCHEMA if schema is None else schema) + DEVICE_SCHEMA:
         gate = entry.get("gate")
         if gate and not _is_enabled(cfg, gate):
             continue

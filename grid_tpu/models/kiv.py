@@ -91,6 +91,33 @@ def estimate_kiv2(exon1a: np.ndarray, exon1b: np.ndarray):
     return dip, dip / 2
 
 
+def estimate_kiv_files(exon1a_file, exon1b_file, output) -> int:
+    """Join two exon dipCN TSVs on sample ID, apply :func:`estimate_kiv2`,
+    and write ``ID exon1A exon1B dip_estimate estimate``. Returns the
+    number of overlapping samples (raises when there is no overlap)."""
+    from pathlib import Path
+
+    from grid_tpu.io.formats import read_dipcn
+
+    ids_a, vals_a, _ = read_dipcn(exon1a_file)
+    ids_b, vals_b, _ = read_dipcn(exon1b_file)
+    a = dict(zip(ids_a, vals_a))
+    b = dict(zip(ids_b, vals_b))
+    overlap = sorted(set(a) & set(b))
+    if not overlap:
+        raise ValueError("No overlapping samples between exon files")
+    dip, hap = estimate_kiv2(
+        np.array([a[s] for s in overlap]), np.array([b[s] for s in overlap])
+    )
+    out = Path(output)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    with open(out, "w") as f:
+        f.write("ID\texon1A\texon1B\tdip_estimate\testimate\n")
+        for i, s in enumerate(overlap):
+            f.write(f"{s}\t{a[s]:.6f}\t{b[s]:.6f}\t{dip[i]:.4f}\t{hap[i]:.4f}\n")
+    return len(overlap)
+
+
 def normalize_sample_id(sample_id: str) -> str:
     """Strip CRAM/BAM suffixes and the TOPMed subset marker from an ID
     (ref: grid/utils/compute_dipcn_dir/normalize_sample_id.py:3-30)."""

@@ -222,3 +222,115 @@ def run_wgs_pipeline(console=None, config=None, validate: bool = True):
     except Exception:
         pass
     return timer.report()
+
+
+def run_wes_pipeline(console=None, config=None, validate: bool = True):
+    """Run the exome (WES) pipeline: realign -> per-exon dipCN -> KIV-2
+    estimate.
+
+    The reference ships only a commented-out ``WES(config)`` CLI stub
+    calling a ``run_wes_pipeline`` that does not exist (grid/cli.py:94-113);
+    grid_tpu implements it over the working exon path: Smith-Waterman
+    realignment of window reads against the exon references
+    (models/realign.py), the legacy per-exon dipCN semantics
+    (models/kiv.py, ref compute_dipcn_dir/), and the KIV-2 linear estimate
+    (ref utils/estimate_kiv.py:22-24). Step gating and log-and-continue
+    failure semantics match the WGS orchestrator.
+    """
+    if not config:
+        raise ValueError("Config file is required for running the WES pipeline.")
+    if isinstance(config, (str, Path)):
+        config_data = load_config(config)
+    else:
+        config_data = config
+
+    from grid_tpu.config import WES_SCHEMA
+
+    if validate:
+        error_check_config(config_data, console, schema=WES_SCHEMA)
+    config_data = apply_defaults(config_data, schema=WES_SCHEMA)
+    out_dir = Path(config_data.get("output_dir", "."))
+    out_dir.mkdir(parents=True, exist_ok=True)
+    ft = config_data.get("output_file_type", "tsv")
+    timer = StepTimer()
+
+    def gated(name, fn):
+        section = config_data.get(name, {})
+        if section.get("run") is not True:
+            return
+        try:
+            with step_timer(name, timer, console):
+                fn(section)
+        except Exception as e:
+            log(console, f"Failed to run {name}: {e}", style="danger")
+
+    index_cfg = config_data.get("index", {})
+    if index_cfg.get("run") is True:
+        from grid_tpu.steps.index import create_index
+
+        try:
+            with step_timer("create_index", timer, console):
+                create_index(config_data, console)
+        except Exception as e:
+            log(console, f"Failed to create index: {e}", style="danger")
+
+    counts_file = out_dir / f"{config_data.get('realign', {}).get('output_file_prefix', 'exon_counts')}.{ft}"
+
+    def _realign(section):
+        from grid_tpu.models.realign import run_realignment
+
+        run_realignment(
+            config_data["directory_loc"],
+            section["exon_fasta"],
+            config_data["chrom"],
+            config_data["start_bp"],
+            config_data["end_bp"],
+            counts_file,
+            min_score=section.get("min_score", 30),
+            margin=section.get("margin", 3),
+            threads=config_data.get("threads", 1),
+            console=console,
+        )
+
+    dipcn_prefix = out_dir / f"{config_data.get('exon_dipcn', {}).get('output_file_prefix', 'exon_dipcn')}"
+
+    def _exon_dipcn(section):
+        from grid_tpu.models.kiv import compute_dipcn_for_exon
+        from grid_tpu.models.kiv_io import (
+            load_count_results,
+            load_neighbor_results,
+            validate_sample_overlap,
+            write_dipcn_output,
+        )
+
+        counts = load_count_results(counts_file)
+        nbrs = load_neighbor_results(section["neighbors_file"])
+        n_overlap, _ = validate_sample_overlap(counts, nbrs, console)
+        if n_overlap == 0:
+            raise ValueError("No overlapping samples between exon counts and neighbors")
+        for exon_type in section.get("exon_types", ["1A", "1B"]):
+            res = compute_dipcn_for_exon(
+                counts, nbrs, exon_type, section.get("n_neighbors", 200)
+            )
+            out = Path(f"{dipcn_prefix}.{exon_type}.{ft}")
+            write_dipcn_output(res, out)
+            log(console, f"{exon_type} dipCN for {len(res)} samples → {out}", style="success")
+
+    def _estimate(section):
+        from grid_tpu.models.kiv import estimate_kiv_files
+
+        out = out_dir / f"{section.get('output_file_prefix', 'kiv2_estimates')}.{ft}"
+        n = estimate_kiv_files(
+            Path(f"{dipcn_prefix}.1A.{ft}"), Path(f"{dipcn_prefix}.1B.{ft}"), out
+        )
+        log(console, f"KIV2 estimates for {n} samples → {out}", style="success")
+
+    gated("realign", _realign)
+    gated("exon_dipcn", _exon_dipcn)
+    gated("estimate_kiv", _estimate)
+
+    try:
+        timer.dump(out_dir / "step_timings.json")
+    except Exception:
+        pass
+    return timer.report()
