@@ -381,6 +381,7 @@ struct Codec {
   // byte array
   uint8_t stop = 0;
   std::vector<Codec> nested;  // [len, val] for BYTE_ARRAY_LEN
+  Cursor* stream = nullptr;   // bound external stream (bind())
 
   bool init(const Encoding& e) {
     codec = e.codec;
@@ -446,13 +447,23 @@ struct Codec {
     return c.ok;
   }
 
-  bool read_int(BitReader& core, ExtMap& ext, int32_t* out) const {
+  // Resolve the external stream pointer once per slice so the per-record
+  // hot path does no map lookups.
+  bool bind(ExtMap& ext) {
+    if (codec == E_EXTERNAL || codec == E_BYTE_ARRAY_STOP) {
+      stream = ext.get(content_id);
+      if (!stream) return false;
+    }
+    for (auto& n : nested)
+      if (!n.bind(ext)) return false;
+    return true;
+  }
+
+  bool read_int(BitReader& core, int32_t* out) const {
     switch (codec) {
       case E_EXTERNAL: {
-        Cursor* s = ext.get(content_id);
-        if (!s) return false;
-        *out = s->itf8();
-        return s->ok;
+        *out = stream->itf8();
+        return stream->ok;
       }
       case E_HUFFMAN: {
         if (is_const) {
@@ -498,24 +509,21 @@ struct Codec {
     }
   }
 
-  bool read_byte(BitReader& core, ExtMap& ext, uint8_t* out) const {
+  bool read_byte(BitReader& core, uint8_t* out) const {
     if (codec == E_EXTERNAL) {
-      Cursor* s = ext.get(content_id);
-      if (!s) return false;
-      *out = s->byte();
-      return s->ok;
+      *out = stream->byte();
+      return stream->ok;
     }
     int32_t v;
-    if (!read_int(core, ext, &v)) return false;
+    if (!read_int(core, &v)) return false;
     *out = (uint8_t)v;
     return true;
   }
 
   // Consume a byte array (content discarded); returns length or -1.
-  int skip_bytes(BitReader& core, ExtMap& ext, int n = -1) const {
+  int skip_bytes(BitReader& core, int n = -1) const {
     if (codec == E_BYTE_ARRAY_STOP) {
-      Cursor* s = ext.get(content_id);
-      if (!s) return -1;
+      Cursor* s = stream;
       const uint8_t* q =
           (const uint8_t*)memchr(s->p, stop, (size_t)(s->end - s->p));
       if (!q) return -1;
@@ -525,19 +533,18 @@ struct Codec {
     }
     if (codec == E_BYTE_ARRAY_LEN) {
       int32_t len;
-      if (!nested[0].read_int(core, ext, &len) || len < 0) return -1;
-      return nested[1].skip_bytes(core, ext, len) < 0 ? -1 : len;
+      if (!nested[0].read_int(core, &len) || len < 0) return -1;
+      return nested[1].skip_bytes(core, len) < 0 ? -1 : len;
     }
     if (codec == E_EXTERNAL) {
       if (n < 0) return -1;
-      Cursor* s = ext.get(content_id);
-      if (!s || !s->skip(n)) return -1;
+      if (!stream->skip(n)) return -1;
       return n;
     }
     if (n < 0) return -1;
     uint8_t b;
     for (int i = 0; i < n; ++i)
-      if (!read_byte(core, ext, &b)) return -1;
+      if (!read_byte(core, &b)) return -1;
     return n;
   }
 };
@@ -647,37 +654,46 @@ struct LiteRec {
 
 struct SliceDecoder {
   const CompHeader& comp;
-  std::map<std::string, Codec> codecs;
+  std::map<std::string, Codec> storage;
   std::map<int, Codec> tag_codecs;
   BitReader core;
   ExtMap ext;
-  bool failed = false;
+  // Codecs resolved + stream-bound once per slice; the per-record loop
+  // does no map lookups.
+  const Codec *bf = nullptr, *cf = nullptr, *ri = nullptr, *rl = nullptr,
+              *ap = nullptr, *rg = nullptr, *rn = nullptr, *mf = nullptr,
+              *ns = nullptr, *np = nullptr, *ts = nullptr, *nf = nullptr,
+              *tl = nullptr, *fn = nullptr, *fc = nullptr, *fp = nullptr,
+              *ba = nullptr, *qs = nullptr, *bs = nullptr, *in_ = nullptr,
+              *sc = nullptr, *bb = nullptr, *qq = nullptr, *dl = nullptr,
+              *rs = nullptr, *pd = nullptr, *hc = nullptr, *mq = nullptr;
 
   explicit SliceDecoder(const CompHeader& ch) : comp(ch) {}
 
-  Codec* get(const std::string& key) {
-    auto it = codecs.find(key);
-    if (it != codecs.end()) return &it->second;
+  const Codec* resolve(const char* key) {
     auto se = comp.series.find(key);
     if (se == comp.series.end()) return nullptr;
     Codec cd;
-    if (!cd.init(se->second)) return nullptr;
-    return &codecs.emplace(key, std::move(cd)).first->second;
+    if (!cd.init(se->second) || !cd.bind(ext)) return nullptr;
+    return &storage.emplace(key, std::move(cd)).first->second;
   }
 
-  bool rint(const char* key, int32_t* out) {
-    Codec* cd = get(key);
-    return cd && cd->read_int(core, ext, out);
-  }
-
-  bool rbyte(const char* key, uint8_t* out) {
-    Codec* cd = get(key);
-    return cd && cd->read_byte(core, ext, out);
-  }
-
-  int rskip(const char* key, int n = -1) {
-    Codec* cd = get(key);
-    return cd ? cd->skip_bytes(core, ext, n) : -1;
+  // Call after core/ext are populated.
+  void resolve_all() {
+    bf = resolve("BF"); cf = resolve("CF"); ri = resolve("RI");
+    rl = resolve("RL"); ap = resolve("AP"); rg = resolve("RG");
+    rn = resolve("RN"); mf = resolve("MF"); ns = resolve("NS");
+    np = resolve("NP"); ts = resolve("TS"); nf = resolve("NF");
+    tl = resolve("TL"); fn = resolve("FN"); fc = resolve("FC");
+    fp = resolve("FP"); ba = resolve("BA"); qs = resolve("QS");
+    bs = resolve("BS"); in_ = resolve("IN"); sc = resolve("SC");
+    bb = resolve("BB"); qq = resolve("QQ"); dl = resolve("DL");
+    rs = resolve("RS"); pd = resolve("PD"); hc = resolve("HC");
+    mq = resolve("MQ");
+    for (const auto& [key, enc] : comp.tag_enc) {
+      Codec cd;
+      if (cd.init(enc) && cd.bind(ext)) tag_codecs.emplace(key, std::move(cd));
+    }
   }
 
   bool decode(const SliceHeader& sh, std::vector<LiteRec>& out) {
@@ -685,117 +701,118 @@ struct SliceDecoder {
     size_t base = out.size();
     for (int32_t i = 0; i < sh.n_records; ++i) {
       LiteRec r;
-      int32_t bf, cf, rl, ap, dummy;
-      if (!rint("BF", &bf) || !rint("CF", &cf)) return false;
+      int32_t vbf, vcf, vrl, vap, dummy;
+      if (!bf || !cf || !bf->read_int(core, &vbf) || !cf->read_int(core, &vcf))
+        return false;
       if (sh.ref_id == -2) {
-        if (!rint("RI", &r.ref_id)) return false;
+        if (!ri || !ri->read_int(core, &r.ref_id)) return false;
       } else {
         r.ref_id = sh.ref_id;
       }
-      if (!rint("RL", &rl)) return false;
-      if (!rint("AP", &ap)) return false;
+      if (!rl || !rl->read_int(core, &vrl)) return false;
+      if (!ap || !ap->read_int(core, &vap)) return false;
       if (comp.ap_delta) {
-        ap += (int32_t)prev_ap;
-        prev_ap = ap;
+        vap += (int32_t)prev_ap;
+        prev_ap = vap;
       }
-      r.pos = (int64_t)ap - 1;
-      if (!rint("RG", &dummy)) return false;
-      if (comp.rn_preserved && rskip("RN") < 0) return false;
-      int32_t mf = 0;
-      if (cf & 0x2) {  // detached
-        int32_t np, ts;
-        if (!rint("MF", &mf)) return false;
-        if (!comp.rn_preserved && rskip("RN") < 0) return false;
-        if (!rint("NS", &r.mate_ref) || !rint("NP", &np) || !rint("TS", &ts))
+      r.pos = (int64_t)vap - 1;
+      if (!rg || !rg->read_int(core, &dummy)) return false;
+      if (comp.rn_preserved && (!rn || rn->skip_bytes(core) < 0)) return false;
+      int32_t vmf = 0;
+      if (vcf & 0x2) {  // detached
+        int32_t vnp, vts;
+        if (!mf || !mf->read_int(core, &vmf)) return false;
+        if (!comp.rn_preserved && (!rn || rn->skip_bytes(core) < 0))
           return false;
-      } else if (cf & 0x4) {  // mate downstream
-        if (!rint("NF", &r.nf)) return false;
+        if (!ns || !np || !ts || !ns->read_int(core, &r.mate_ref) ||
+            !np->read_int(core, &vnp) || !ts->read_int(core, &vts))
+          return false;
+      } else if (vcf & 0x4) {  // mate downstream
+        if (!nf || !nf->read_int(core, &r.nf)) return false;
       }
-      int32_t tl;
-      if (!rint("TL", &tl)) return false;
-      if (tl < 0 || tl >= (int32_t)comp.tag_dict.size()) return false;
-      for (int key : comp.tag_dict[tl]) {
+      int32_t vtl;
+      if (!tl || !tl->read_int(core, &vtl)) return false;
+      if (vtl < 0 || vtl >= (int32_t)comp.tag_dict.size()) return false;
+      for (int key : comp.tag_dict[vtl]) {
         auto it = tag_codecs.find(key);
-        if (it == tag_codecs.end()) {
-          auto te = comp.tag_enc.find(key);
-          if (te == comp.tag_enc.end()) return false;
-          Codec cd;
-          if (!cd.init(te->second)) return false;
-          it = tag_codecs.emplace(key, std::move(cd)).first;
-        }
-        if (it->second.skip_bytes(core, ext) < 0) return false;
+        if (it == tag_codecs.end()) return false;
+        if (it->second.skip_bytes(core) < 0) return false;
       }
 
-      if (!(bf & 0x4)) {  // mapped
-        int32_t fn;
-        if (!rint("FN", &fn)) return false;
-        int32_t ref_len = rl;
-        for (int32_t f = 0; f < fn; ++f) {
-          uint8_t fc;
-          int32_t fp, op;
+      if (!(vbf & 0x4)) {  // mapped
+        int32_t vfn;
+        if (!fn || !fn->read_int(core, &vfn)) return false;
+        int32_t ref_len = vrl;
+        for (int32_t f = 0; f < vfn; ++f) {
+          uint8_t vfc;
+          int32_t vfp, op;
           uint8_t ob;
-          if (!rbyte("FC", &fc) || !rint("FP", &fp)) return false;
+          if (!fc || !fp || !fc->read_byte(core, &vfc) ||
+              !fp->read_int(core, &vfp))
+            return false;
           int len;
-          switch ((char)fc) {
+          switch ((char)vfc) {
             case 'B':
-              if (!rbyte("BA", &ob) || !rbyte("QS", &ob)) return false;
+              if (!ba || !qs || !ba->read_byte(core, &ob) ||
+                  !qs->read_byte(core, &ob))
+                return false;
               break;
             case 'X':
-              if (!rbyte("BS", &ob)) return false;
+              if (!bs || !bs->read_byte(core, &ob)) return false;
               break;
             case 'I':
-              if ((len = rskip("IN")) < 0) return false;
+              if (!in_ || (len = in_->skip_bytes(core)) < 0) return false;
               ref_len -= len;
               break;
             case 'S':
-              if ((len = rskip("SC")) < 0) return false;
+              if (!sc || (len = sc->skip_bytes(core)) < 0) return false;
               ref_len -= len;
               break;
             case 'b':
-              if ((len = rskip("BB")) < 0) return false;
+              if (!bb || (len = bb->skip_bytes(core)) < 0) return false;
               break;
             case 'q':
-              if (rskip("QQ") < 0) return false;
+              if (!qq || qq->skip_bytes(core) < 0) return false;
               break;
             case 'D':
-              if (!rint("DL", &op)) return false;
+              if (!dl || !dl->read_int(core, &op)) return false;
               ref_len += op;
               break;
             case 'N':
-              if (!rint("RS", &op)) return false;
+              if (!rs || !rs->read_int(core, &op)) return false;
               ref_len += op;
               break;
             case 'P':
-              if (!rint("PD", &op)) return false;
+              if (!pd || !pd->read_int(core, &op)) return false;
               break;
             case 'H':
-              if (!rint("HC", &op)) return false;
+              if (!hc || !hc->read_int(core, &op)) return false;
               break;
             case 'i':
-              if (!rbyte("BA", &ob)) return false;
+              if (!ba || !ba->read_byte(core, &ob)) return false;
               ref_len -= 1;
               break;
             case 'Q':
-              if (!rbyte("QS", &ob)) return false;
+              if (!qs || !qs->read_byte(core, &ob)) return false;
               break;
             default:
               return false;
           }
         }
         r.ref_len = ref_len > 0 ? ref_len : 0;
-        if (!rint("MQ", &r.mapq)) return false;
-        if (cf & 0x1) {
-          if (rskip("QS", rl) < 0) return false;
+        if (!mq || !mq->read_int(core, &r.mapq)) return false;
+        if (vcf & 0x1) {
+          if (!qs || qs->skip_bytes(core, vrl) < 0) return false;
         }
       } else {  // unmapped
-        if (!(cf & 0x8)) {
-          if (rskip("BA", rl) < 0) return false;
+        if (!(vcf & 0x8)) {
+          if (!ba || ba->skip_bytes(core, vrl) < 0) return false;
         }
-        if (cf & 0x1) {
-          if (rskip("QS", rl) < 0) return false;
+        if (vcf & 0x1) {
+          if (!qs || qs->skip_bytes(core, vrl) < 0) return false;
         }
       }
-      r.flag = bf | ((mf & 1) ? 0x20 : 0) | ((mf & 2) ? 0x8 : 0);
+      r.flag = vbf | ((vmf & 1) ? 0x20 : 0) | ((vmf & 2) ? 0x8 : 0);
       out.push_back(r);
     }
     // resolve mate-downstream refs + flags
@@ -903,6 +920,7 @@ struct CramFile {
           dec.ext.streams.emplace(b.content_id,
                                   Cursor(b.data.data(), b.data.size()));
       }
+      dec.resolve_all();
       if (!dec.decode(sh, out)) return false;
     }
     return true;
