@@ -95,6 +95,18 @@ STEP_SCHEMA = [
         "default": "output",
     },
     {"path": ("compute_diploid_genotypes", "n_nbr"), "gate": ("compute_diploid_genotypes",), "default": 300},
+    # compute_ibs (grid_tpu addition: native PBWT IBS engine as a pipeline
+    # step, replacing the reference's external computeIBSpbwt input prep;
+    # its output feeds compute_haploid_genotypes.ibs_output automatically)
+    {"path": ("compute_ibs", "vcf"), "gate": ("compute_ibs",), "default": None},
+    {"path": ("compute_ibs", "bgen"), "gate": ("compute_ibs",), "default": None},
+    {"path": ("compute_ibs", "sample_file"), "gate": ("compute_ibs",), "default": None},
+    {"path": ("compute_ibs", "focal_bp"), "gate": ("compute_ibs",), "required": True},
+    {"path": ("compute_ibs", "genetic_map"), "gate": ("compute_ibs",), "default": None},
+    {"path": ("compute_ibs", "num_neighbors"), "gate": ("compute_ibs",), "default": 200},
+    {"path": ("compute_ibs", "panel_chrom"), "gate": ("compute_ibs",), "default": None},
+    {"path": ("compute_ibs", "backend"), "gate": ("compute_ibs",), "default": "auto"},
+    {"path": ("compute_ibs", "output_file_prefix"), "gate": ("compute_ibs",), "default": "ibs_neighbors"},
     # compute_haploid_genotypes
     {"path": ("compute_haploid_genotypes", "method"), "gate": ("compute_haploid_genotypes",), "default": "ibs"},
     {"path": ("compute_haploid_genotypes", "ibs_output"), "gate": ("compute_haploid_genotypes",), "default": None},

@@ -188,6 +188,15 @@ def run_wgs_pipeline(console=None, config=None, validate: bool = True):
     gated(config_data.get("count_reads", {}), "count_reads", count_reads)
     gated(config_data.get("mosdepth", {}), "mosdepth", compute_mosdepth)
 
+    # grid_tpu addition: native IBS neighbor generation from a phased panel
+    # (the reference requires an externally-prepared computeIBSpbwt file).
+    # Must run before steps 4-7 (fused or sequential) — its output feeds
+    # step 7's ibs_output.
+    if config_data.get("compute_ibs", {}).get("run") is True:
+        from grid_tpu.steps.ibs import compute_ibs
+
+        gated(config_data.get("compute_ibs", {}), "compute_ibs", compute_ibs)
+
     from grid_tpu.steps.fused import fused_steps_enabled, run_fused_steps
 
     fused_done = False

@@ -121,6 +121,35 @@ def compute_ibs_neighbors(
     return out
 
 
+def compute_ibs(config, console=None):
+    """Config-driven pipeline step (grid_tpu addition — the reference treats
+    IBS neighbors as externally-prepared input). Writes
+    ``{output_dir}/{output_file_prefix}.tsv.gz`` and, when
+    ``compute_haploid_genotypes.ibs_output`` is unset, points it at the
+    result so a single ``wgs`` run goes from phased panel to haploid CNs.
+    """
+    section = config.get("compute_ibs", {})
+    out_dir = Path(config.get("output_dir", "."))
+    out = out_dir / f"{section.get('output_file_prefix', 'ibs_neighbors')}.tsv.gz"
+    compute_ibs_neighbors(
+        output=out,
+        focal_bp=section["focal_bp"],
+        vcf=section.get("vcf"),
+        bgen=section.get("bgen"),
+        sample_file=section.get("sample_file"),
+        chrom=section.get("panel_chrom"),
+        genetic_map=section.get("genetic_map"),
+        num_neighbors=section.get("num_neighbors", 200),
+        threads=config.get("threads", 1),
+        backend=section.get("backend", "auto"),
+        console=console,
+    )
+    hap_cfg = config.setdefault("compute_haploid_genotypes", {})
+    if not hap_cfg.get("ibs_output"):
+        hap_cfg["ibs_output"] = str(out)
+    return out
+
+
 def _run_engine(H, cm, focal, focal_cm, k, max_scan, threads, backend, console):
     if backend not in ("auto", "native", "numpy"):
         raise ValueError(f"unknown backend {backend!r}")

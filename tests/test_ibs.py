@@ -346,6 +346,40 @@ def test_compute_ibs_uniform_map_fallback(tmp_path):
     assert len(text) == 1 + 2 * 8 * 3
 
 
+def test_compute_ibs_pipeline_step(tmp_path):
+    """`wgs` with a compute_ibs section: phased panel -> IBS neighbors ->
+    haploid CNs, no external tool and no precomputed neighbors file."""
+    import yaml
+
+    from grid_tpu.pipeline import run_wgs_pipeline
+    from grid_tpu.synth import make_synthetic_cohort, make_synthetic_phased_panel
+
+    cohort = make_synthetic_cohort(tmp_path / "cohort", n_samples=10, seed=6)
+    panel = make_synthetic_phased_panel(
+        tmp_path / "panel", n_samples=10, n_sites=80, seed=6
+    )
+    cfg = yaml.safe_load(open(cohort["config_file"]))
+    cfg["compute_ibs"] = {
+        "run": True,
+        "vcf": str(panel["vcf"]),
+        "focal_bp": panel["focal_bp"],
+        "genetic_map": str(panel["genetic_map"]),
+        "num_neighbors": 4,
+    }
+    del cfg["compute_haploid_genotypes"]["ibs_output"]  # step must supply it
+    timings = run_wgs_pipeline(console=None, config=cfg)
+    assert "compute_ibs" in timings
+    out_dir = tmp_path / "cohort" / "results"
+    assert (out_dir / "ibs_neighbors.tsv.gz").exists()
+    hap = (out_dir / "haploid_genotypes.tsv").read_text().splitlines()
+    assert len(hap) == 11
+    import numpy as np
+
+    vals = np.array([[float(v) for v in r.split()[1:]] for r in hap[1:]])
+    assert np.isfinite(vals).all()
+    np.testing.assert_allclose(vals[:, 1] + vals[:, 2], vals[:, 0], atol=0.02)
+
+
 def test_ibs_cli(tmp_path):
     from click.testing import CliRunner
 
