@@ -90,6 +90,7 @@ def make_synthetic_phased_panel(
     n_clone_pairs: int = 3,
     clone_span_sites: int = 200,
     seed: int = 0,
+    hap_groups=None,
 ):
     """Fabricate a phased haplotype panel with realistic IBS structure for
     the native IBS engine (tests, examples, and the ``ibs`` CLI).
@@ -100,6 +101,13 @@ def make_synthetic_phased_panel(
     IBS segments. ``n_clone_pairs`` haplotype pairs (across different
     samples) additionally copy each other exactly over ``clone_span_sites``
     sites centred on the panel midpoint — planted mutual best matches.
+
+    ``hap_groups`` (optional int array ``[2*n_samples]``, hap index
+    ``2*i + h``): haplotypes in the same group copy a shared group founder
+    over the focal window — the biological premise of the pipeline (shared
+    haplotype around the VNTR => shared repeat allele). Pass a quantile
+    binning of the true haplotype CNs to make IBS-based phasing
+    informative end-to-end. Disables the clone-pair planting.
 
     Writes ``panel.vcf.gz``, ``panel.sample``, ``genetic_map.txt`` and
     returns ids, the haplotype matrix, positions, the focal bp (panel
@@ -125,15 +133,28 @@ def make_synthetic_phased_panel(
     lo = max(0, mid - clone_span_sites // 2)
     hi = min(n_sites, mid + clone_span_sites // 2)
     clone_pairs = []
-    used: set[int] = set()
-    for _ in range(n_clone_pairs):
-        while True:
-            x, y = rng.choice(n_hap, size=2, replace=False)
-            if x // 2 != y // 2 and x not in used and y not in used:
-                break
-        H[y, lo:hi] = H[x, lo:hi]
-        used.update((int(x), int(y)))
-        clone_pairs.append((int(x), int(y)))
+    if hap_groups is not None:
+        hap_groups = np.asarray(hap_groups)
+        if hap_groups.shape != (n_hap,):
+            raise ValueError(f"hap_groups must have shape ({n_hap},)")
+        for g in np.unique(hap_groups):
+            members = np.flatnonzero(hap_groups == g)
+            founder = rng.integers(0, 2, size=hi - lo, dtype=np.uint8)
+            for h in members:
+                H[h, lo:hi] = founder
+        # rare mutations so matches have realistic ragged ends
+        window = H[:, lo:hi]
+        window ^= (rng.random(size=window.shape) < mutation_rate).astype(np.uint8)
+    else:
+        used: set[int] = set()
+        for _ in range(n_clone_pairs):
+            while True:
+                x, y = rng.choice(n_hap, size=2, replace=False)
+                if x // 2 != y // 2 and x not in used and y not in used:
+                    break
+            H[y, lo:hi] = H[x, lo:hi]
+            used.update((int(x), int(y)))
+            clone_pairs.append((int(x), int(y)))
 
     positions = start_bp + np.arange(n_sites, dtype=np.int64) * site_spacing
     focal_bp = int(positions[mid]) - site_spacing // 2

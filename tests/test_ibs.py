@@ -380,6 +380,52 @@ def test_compute_ibs_pipeline_step(tmp_path):
     np.testing.assert_allclose(vals[:, 1] + vals[:, 2], vals[:, 0], atol=0.02)
 
 
+def test_grouped_panel_recovers_haplotype_allocation(tmp_path):
+    """Panel with CN-aligned haplotype sharing (the biological premise:
+    shared haplotype around the VNTR => shared repeat allele) -> the
+    engine's IBS neighbors must recover the within-sample haplotype
+    allocation end-to-end."""
+    import yaml
+
+    from grid_tpu.pipeline import run_wgs_pipeline
+    from grid_tpu.synth import make_synthetic_cohort, make_synthetic_phased_panel
+
+    n = 24
+    cohort = make_synthetic_cohort(tmp_path / "cohort", n_samples=n, seed=11)
+    hap_cn = cohort["hap_cn"].reshape(-1)
+    # quantile-bin haplotypes by true CN: same bin = shared haplotype
+    groups = np.searchsorted(np.quantile(hap_cn, [0.2, 0.4, 0.6, 0.8]), hap_cn)
+    panel = make_synthetic_phased_panel(
+        tmp_path / "panel", n_samples=n, n_sites=200, seed=11, hap_groups=groups
+    )
+    cfg = yaml.safe_load(open(cohort["config_file"]))
+    cfg["compute_ibs"] = {
+        "run": True,
+        "vcf": str(panel["vcf"]),
+        "focal_bp": panel["focal_bp"],
+        "genetic_map": str(panel["genetic_map"]),
+        "num_neighbors": 6,
+    }
+    del cfg["compute_haploid_genotypes"]["ibs_output"]
+    run_wgs_pipeline(console=None, config=cfg)
+
+    rows = [
+        line.split() for line in
+        (tmp_path / "cohort" / "results" / "haploid_genotypes.tsv")
+        .read_text().splitlines()[1:]
+    ]
+    est = {r[0]: (float(r[2]), float(r[3])) for r in rows}
+    e, t = [], []
+    for i, sid in enumerate(cohort["ids"]):
+        h1, h2 = est[sid]
+        tru1, tru2 = cohort["hap_cn"][i]
+        if h1 + h2 > 0:
+            e.append(h1 / (h1 + h2))
+            t.append(tru1 / (tru1 + tru2))
+    rho = np.corrcoef(e, t)[0, 1]
+    assert rho > 0.5, f"haplotype allocation correlation too low: {rho}"
+
+
 def test_ibs_cli(tmp_path):
     from click.testing import CliRunner
 
