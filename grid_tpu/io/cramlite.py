@@ -281,6 +281,8 @@ def _read_sym_freqs(c: ByteCursor, read_inner):
         if rle > 0:
             rle -= 1
             sym = last + 1
+            if sym > 255:
+                raise ValueError("rans: corrupt symbol run")
         else:
             sym = c.byte()
             if sym == 0:
@@ -392,6 +394,8 @@ def rans_decode(payload: bytes) -> bytes:
     order = c.byte()
     _comp_sz = struct.unpack("<I", c.read(4))[0]
     out_sz = struct.unpack("<I", c.read(4))[0]
+    if out_sz > _MAX_BLOCK:
+        raise ValueError("rans: implausible output size")
     if out_sz == 0:
         return b""
     if order == 0:
@@ -525,6 +529,9 @@ def write_block(out: bytearray, ctype: int, content_id: int, data: bytes,
     out += struct.pack("<I", zlib.crc32(bytes(blk)) & 0xFFFFFFFF)
 
 
+_MAX_BLOCK = 1 << 30  # allocation guard against corrupt size fields
+
+
 def read_block(c: ByteCursor):
     """-> (content_type, content_id, raw_data)."""
     start = c.pos
@@ -533,6 +540,8 @@ def read_block(c: ByteCursor):
     content_id = c.itf8()
     comp_size = c.itf8()
     raw_size = c.itf8()
+    if not (0 <= comp_size <= _MAX_BLOCK and 0 <= raw_size <= _MAX_BLOCK):
+        raise ValueError("cram: implausible block size (corrupt stream)")
     comp = c.read(comp_size)
     stored_crc = struct.unpack("<I", c.read(4))[0]
     actual_crc = zlib.crc32(c.buf[start : c.pos - 4]) & 0xFFFFFFFF

@@ -42,7 +42,7 @@ struct Cursor {
   }
 
   bool read(void* dst, size_t n) {
-    if (p + n > end) {
+    if (n > (size_t)(end - p)) {  // remaining-based: no pointer overflow
       ok = false;
       return false;
     }
@@ -52,7 +52,7 @@ struct Cursor {
   }
 
   bool skip(size_t n) {
-    if (p + n > end) {
+    if (n > (size_t)(end - p)) {
       ok = false;
       return false;
     }
@@ -158,6 +158,7 @@ bool read_sym_list(Cursor& c, Fn fn) {
     if (rle > 0) {
       --rle;
       sym = last + 1;
+      if (sym > 255) return false;  // corrupt run crossing the alphabet end
     } else {
       sym = c.byte();
       if (sym == 0) return true;
@@ -172,6 +173,7 @@ bool rans_decode(const uint8_t* src, size_t n, std::vector<uint8_t>& out) {
   int order = c.byte();
   uint32_t comp_sz, out_sz;
   if (!c.read(&comp_sz, 4) || !c.read(&out_sz, 4)) return false;
+  if (out_sz > (1u << 30)) return false;
   out.resize(out_sz);
   if (out_sz == 0) return true;
 
@@ -274,7 +276,9 @@ bool read_block(Cursor& c, Block* b) {
   b->content_id = c.itf8();
   int32_t comp_size = c.itf8();
   int32_t raw_size = c.itf8();
-  if (!c.ok || comp_size < 0 || raw_size < 0) return false;
+  if (!c.ok || comp_size < 0 || raw_size < 0 ||
+      raw_size > (1 << 30))  // allocation guard vs corrupt size fields
+    return false;
   const uint8_t* payload = c.p;
   if (!c.skip(comp_size)) return false;
   c.skip(4);  // CRC32 (validated by the Python twin; skipped here for speed)
@@ -314,6 +318,7 @@ bool read_container_header(FILE* f, ContainerHeader* h) {
   if (n < 4) return false;
   Cursor c(buf, n);
   if (!c.read(&h->length, 4)) return false;
+  if (h->length < 0 || h->length > (1 << 30)) return false;  // corrupt size
   h->ref_id = c.itf8();
   h->start = c.itf8();
   h->span = c.itf8();
@@ -630,10 +635,13 @@ struct SliceHeader {
     start = c.itf8();
     span = c.itf8();
     n_records = c.itf8();
+    if (n_records < 0 || n_records > 100'000'000) return false;
     c.ltf8();  // record counter
     n_blocks = c.itf8();
+    if (n_blocks < 0 || n_blocks > 100'000) return false;
     int32_t nids = c.itf8();
-    for (int i = 0; i < nids; ++i) c.itf8();
+    if (nids < 0 || nids > 100'000) return false;
+    for (int i = 0; i < nids && c.ok; ++i) c.itf8();
     c.itf8();    // embedded ref id
     c.skip(16);  // md5
     return c.ok;
@@ -880,6 +888,7 @@ struct CramFile {
         if (fieldv.rfind("SN:", 0) == 0) name = fieldv.substr(3);
         if (fieldv.rfind("LN:", 0) == 0) len = atoll(fieldv.c_str() + 3);
       }
+      if (len < 0 || len > (1LL << 35)) continue;  // corrupt @SQ length
       if (!name.empty()) refs.emplace_back(name, len);
     }
     data_start = ftell(f);
@@ -1008,7 +1017,7 @@ extern "C" {
 // start <= pos < end). Returns the count, or a negative error code.
 int64_t grid_cram_count(const char* path, const char* chrom, int64_t start,
                         int64_t end, const int32_t* flags, int32_t n_flags,
-                        int32_t min_mapq) {
+                        int32_t min_mapq) try {
   CramFile cf;
   if (!cf.open(path)) return -1;
   int32_t ref_id = cf.ref_index(chrom);
@@ -1027,13 +1036,15 @@ int64_t grid_cram_count(const char* path, const char* chrom, int64_t start,
     ++n;
   }
   return n;
+} catch (const std::exception&) {
+  return -99;  // corrupt input (e.g. allocation from a damaged size field)
 }
 
 // mosdepth-fast-mode binned depth over the whole file -> bed.gz
 // (same overlap math as grid_bam_binned_depth).
 int grid_cram_binned_depth(const char* path, const char* out_path,
                            int32_t bin_size, int32_t exclude_flags,
-                           int32_t min_mapq) {
+                           int32_t min_mapq) try {
   CramFile cf;
   if (!cf.open(path)) return -1;
   std::vector<std::vector<int64_t>> overlap(cf.refs.size());
@@ -1077,12 +1088,14 @@ int grid_cram_binned_depth(const char* path, const char* out_path,
   }
   gzclose(out);
   return 0;
+} catch (const std::exception&) {
+  return -99;
 }
 
 // Flat record dump for twin tests: per record writes
 // (ref_id, pos, flag, mapq, mate_ref, ref_len) into out (capacity cap
 // records). Returns record count or negative error.
-int64_t grid_cram_dump(const char* path, int64_t* out, int64_t cap) {
+int64_t grid_cram_dump(const char* path, int64_t* out, int64_t cap) try {
   CramFile cf;
   if (!cf.open(path)) return -1;
   std::vector<LiteRec> recs;
@@ -1101,6 +1114,8 @@ int64_t grid_cram_dump(const char* path, int64_t* out, int64_t cap) {
     out[i * 6 + 5] = recs[i].ref_len;
   }
   return (int64_t)recs.size();
+} catch (const std::exception&) {
+  return -99;
 }
 
 }  // extern "C"

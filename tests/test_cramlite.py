@@ -94,6 +94,41 @@ class TestRoundTrip:
             with cl.CramReader(path) as rd:
                 list(rd.iter_records())
 
+    def test_corruption_fuzz_never_hangs_or_crashes(self, tmp_path):
+        """Random byte flips and truncations: both readers must either
+        produce records or raise cleanly — never crash, hang, or allocate
+        absurdly (size-field guards)."""
+        rng = np.random.default_rng(17)
+        recs = make_records(rng, 120)
+        path = tmp_path / "fz.cram"
+        cl.write_cram(path, REFS, recs, method=cl.RANS)
+        good = path.read_bytes()
+
+        try:
+            from grid_tpu.native import cram as ncram
+        except Exception:
+            ncram = None
+
+        for trial in range(40):
+            raw = bytearray(good)
+            if trial % 2 == 0:
+                raw = raw[: rng.integers(30, len(raw))]  # truncate
+            for _ in range(int(rng.integers(1, 4))):  # flip bytes
+                raw[int(rng.integers(26, len(raw)))] ^= int(rng.integers(1, 256))
+            bad = tmp_path / "bad.cram"
+            bad.write_bytes(bytes(raw))
+            try:
+                with cl.CramReader(bad) as rd:
+                    for _ in rd.iter_records(decode_seq=False):
+                        pass
+            except Exception:
+                pass  # any clean Python exception is acceptable
+            if ncram is not None:
+                try:
+                    ncram.count_reads_region(bad, "chr1", 0, 50_000, {83}, 0)
+                except Exception:
+                    pass
+
     def test_mate_flags_reconstructed(self, tmp_path):
         # flags 83/147 carry mate-reverse bits; stripped to MF on write.
         recs = [
