@@ -80,14 +80,17 @@ bool read_header(BgzfReader& r, BamHeader* hdr) {
   uint8_t b4[4];
   if (!r.read(b4, 4)) return false;
   int32_t l_text = rd_i32(b4);
+  if (l_text < 0) return false;
   if (!r.skip((size_t)l_text)) return false;
   if (!r.read(b4, 4)) return false;
   int32_t n_ref = rd_i32(b4);
+  if (n_ref < 0 || n_ref > 1'000'000) return false;  // corrupt ref count
   hdr->refs.clear();
   hdr->refs.reserve(n_ref);
   for (int32_t i = 0; i < n_ref; ++i) {
     if (!r.read(b4, 4)) return false;
     int32_t l_name = rd_i32(b4);
+    if (l_name < 1 || l_name > 4096) return false;  // corrupt name length
     std::string name(l_name, 0);
     if (!r.read(name.data(), l_name)) return false;
     name.resize(l_name - 1);  // drop trailing NUL
@@ -117,7 +120,7 @@ bool read_record(BgzfReader& r, std::vector<uint8_t>& data, Rec* rec) {
   if (r.eof()) return false;
   if (!r.read(b4, 4)) return false;
   int32_t block_size = rd_i32(b4);
-  if (block_size < 32) return false;
+  if (block_size < 32 || block_size > (1 << 27)) return false;
   data.resize(block_size);
   if (!r.read(data.data(), block_size)) return false;
   const uint8_t* p = data.data();
@@ -186,6 +189,7 @@ bool read_bai(const char* path, Bai* bai) {
   char magic[4];
   int32_t n_ref;
   bool ok = rd(magic, 4) && memcmp(magic, "BAI\1", 4) == 0 && rd(&n_ref, 4);
+  if (ok && (n_ref < 0 || n_ref > 1'000'000)) ok = false;
   if (ok) {
     bai->refs.resize(n_ref);
     for (int32_t i = 0; ok && i < n_ref; ++i) {
@@ -196,6 +200,7 @@ bool read_bai(const char* path, Bai* bai) {
         int32_t n_chunk;
         ok = rd(&bin, 4) && rd(&n_chunk, 4);
         if (!ok) break;
+        if (n_chunk < 0 || n_chunk > 100'000'000) { ok = false; break; }
         auto& v = bai->refs[i].bins[(int32_t)bin];
         v.resize(n_chunk);
         for (int32_t c = 0; ok && c < n_chunk; ++c) {
@@ -204,6 +209,7 @@ bool read_bai(const char* path, Bai* bai) {
       }
       int32_t n_intv;
       if (ok) ok = rd(&n_intv, 4);
+      if (ok && (n_intv < 0 || n_intv > 100'000'000)) ok = false;
       if (ok) {
         bai->refs[i].ioffsets.resize(n_intv);
         for (int32_t c = 0; ok && c < n_intv; ++c) ok = rd(&bai->refs[i].ioffsets[c], 8);
@@ -336,7 +342,7 @@ int grid_bam_binned_depth(const char* path, const char* out_path, int32_t bin_si
     if (rec.mapq < min_mapq) continue;
     int64_t beg = rec.pos;
     int64_t end = rec.pos + (rec.ref_span > 0 ? rec.ref_span : 0);
-    if (end <= beg) continue;
+    if (beg < 0 || end <= beg) continue;
     auto& bins = overlap[rec.refid];
     for (int64_t b = beg / bin_size; b <= (end - 1) / bin_size && b < (int64_t)bins.size(); ++b) {
       int64_t bs = b * bin_size, be = bs + bin_size;
@@ -386,8 +392,10 @@ int grid_bam_build_bai(const char* path, const char* out_path) {
       chunks.push_back({voff_start, voff_end});
     }
     // linear index: min voffset per 16kb window covered by the read
+    if (beg < 0 || end <= beg) continue;
     auto& io = refs[rec.refid].ioffsets;
     size_t first = (size_t)(beg >> 14), last = (size_t)((end - 1) >> 14);
+    if (last > (1u << 22)) continue;  // corrupt coordinate
     if (io.size() <= last) io.resize(last + 1, 0);
     for (size_t w = first; w <= last; ++w) {
       if (io[w] == 0 || voff_start < io[w]) io[w] = voff_start;
@@ -555,6 +563,7 @@ int64_t grid_bam_subset(const char* path, const char* chrom, int64_t start, int6
     uint8_t lb[4];
     if (!r.read(lb, 4)) return -2;
     int32_t l_name = rd_i32(lb);
+    if (l_name < 1 || l_name > 4096) return -2;
     std::vector<uint8_t> name(l_name);
     if (!r.read(name.data(), l_name)) return -2;
     uint8_t ln[4];
@@ -586,7 +595,7 @@ int64_t grid_bam_subset(const char* path, const char* chrom, int64_t start, int6
     if (r.eof()) break;
     if (!r.read(bs4, 4)) break;
     int32_t block_size = rd_i32(bs4);
-    if (block_size < 32) break;
+    if (block_size < 32 || block_size > (1 << 27)) break;
     data.resize(block_size);
     if (!r.read(data.data(), block_size)) break;
     int32_t refid = rd_i32(data.data() + 0);
@@ -663,7 +672,7 @@ int64_t grid_bam_fetch(const char* path, const char* chrom, int64_t start, int64
     if (r.eof()) break;
     if (!r.read(b4, 4)) break;
     int32_t block_size = rd_i32(b4);
-    if (block_size < 32) break;
+    if (block_size < 32 || block_size > (1 << 27)) break;
     data.resize(block_size);
     if (!r.read(data.data(), block_size)) break;
     const uint8_t* p = data.data();

@@ -48,7 +48,7 @@ bool BgzfReader::load_block(int64_t coffset) {
     }
     off += 4 + slen;
   }
-  if (bsize < 0) return false;
+  if (bsize < 12 + (int32_t)xlen + 8) return false;  // corrupt BC size
 
   size_t cdata_len = (size_t)bsize - 12 - xlen - 8;
   std::vector<uint8_t> cdata(cdata_len);
@@ -59,6 +59,7 @@ bool BgzfReader::load_block(int64_t coffset) {
   uint32_t isize = (uint32_t)tail[4] | ((uint32_t)tail[5] << 8) | ((uint32_t)tail[6] << 16) |
                    ((uint32_t)tail[7] << 24);
 
+  if (isize > (1u << 16)) return false;  // BGZF blocks are <= 64 KiB
   if (isize > ublock_.size()) ublock_.resize(isize);
 
   z_stream zs;
@@ -70,7 +71,7 @@ bool BgzfReader::load_block(int64_t coffset) {
   zs.avail_out = (uInt)ublock_.size();
   int ret = inflate(&zs, Z_FINISH);
   inflateEnd(&zs);
-  if (ret != Z_STREAM_END) return false;
+  if (ret != Z_STREAM_END || zs.total_out != isize) return false;
 
   ulen_ = isize;
   upos_ = 0;

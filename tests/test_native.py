@@ -243,3 +243,46 @@ def test_bam_count_mapq_zero_reads(tmp_path, native):
     write_bam(p, [("chr6", 1000)], recs)
     assert bam.count_reads_region(p, "chr6", 0, 1000, {83}, 1) == 1
     assert bam.count_reads_region(p, "chr6", 0, 1000, {83}, 0) == 2
+
+
+def test_bam_corruption_fuzz_never_crashes(tmp_path, native, rng):
+    """Random byte flips/truncations on a BAM + its BAI: the native reader
+    must return counts or error codes — never segfault or abort (the
+    fuzz found real crashes: unguarded allocation sizes, negative
+    positions indexing the linear index, BGZF size-field underflow)."""
+    bam, _ = native
+    from grid_tpu.io.bamlite import encode_record, write_bam
+
+    recs = [
+        encode_record(0, int(p), 83, mapq=60, read_name=f"r{i}", seq_len=80,
+                      next_pos=int(p) + 100)
+        for i, p in enumerate(np.sort(rng.integers(0, 50_000, size=400)))
+    ]
+    path = tmp_path / "fz.bam"
+    write_bam(path, [("chr1", 100_000)], recs)
+    bam.build_bai(str(path))
+    good = path.read_bytes()
+    good_bai = (tmp_path / "fz.bam.bai").read_bytes()
+
+    for trial in range(25):
+        raw = bytearray(good)
+        if trial % 3 == 0:
+            raw = raw[: rng.integers(30, len(raw))]
+        for _ in range(int(rng.integers(1, 8))):
+            raw[int(rng.integers(0, len(raw)))] ^= int(rng.integers(1, 256))
+        bad = tmp_path / "bad.bam"
+        bad.write_bytes(bytes(raw))
+        # corrupt index half the time too
+        bai = bytearray(good_bai)
+        if trial % 2 == 0 and len(bai) > 8:
+            bai[int(rng.integers(4, len(bai)))] ^= int(rng.integers(1, 256))
+        (tmp_path / "bad.bam.bai").write_bytes(bytes(bai))
+        for fn in (
+            lambda: bam.count_reads_region(bad, "chr1", 0, 100_000, {83}, 0),
+            lambda: bam.binned_depth(bad, tmp_path / "o.bed.gz"),
+            lambda: bam.build_bai(bad, tmp_path / "o.bai"),
+        ):
+            try:
+                fn()
+            except Exception:
+                pass  # clean errors are fine; crashes are not
