@@ -204,8 +204,11 @@ def add_gen_map(map_file, genetic_map, out):
               help="neighbors file (.gz => gzip)")
 @click.option("--backend", default="auto", show_default=True,
               type=click.Choice(["auto", "native", "numpy"]))
+@click.option("--max-scan", default=None, type=int,
+              help="per-side PBWT expansion cap (default max(4k, k+64)); "
+                   "raise if the engine logs that the cap was hit")
 def ibs(vcf, bgen, sample_file, chrom, focal_bp, genetic_map, num_neighbors,
-        threads, output, backend):
+        threads, output, backend, max_scan):
     """IBS haplotype neighbors from a phased panel (native PBWT engine —
     replaces the reference's external computeIBSpbwt tool; same output
     format, consumed directly by hi-inference)."""
@@ -216,8 +219,8 @@ def ibs(vcf, bgen, sample_file, chrom, focal_bp, genetic_map, num_neighbors,
     compute_ibs_neighbors(
         output=output, focal_bp=focal_bp, vcf=vcf, bgen=bgen,
         sample_file=sample_file, chrom=chrom, genetic_map=genetic_map,
-        num_neighbors=num_neighbors, threads=threads, backend=backend,
-        console=_console(),
+        num_neighbors=num_neighbors, threads=threads, max_scan=max_scan,
+        backend=backend, console=_console(),
     )
 
 

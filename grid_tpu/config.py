@@ -106,6 +106,10 @@ STEP_SCHEMA = [
     {"path": ("compute_ibs", "num_neighbors"), "gate": ("compute_ibs",), "default": 200},
     {"path": ("compute_ibs", "panel_chrom"), "gate": ("compute_ibs",), "default": None},
     {"path": ("compute_ibs", "backend"), "gate": ("compute_ibs",), "default": "auto"},
+    # per-side PBWT expansion cap; None => max(4k, k+64). Raise when the
+    # numpy engine logs that the cap terminated expansion before the Fagin
+    # threshold (result then best-effort rather than exact top-k).
+    {"path": ("compute_ibs", "max_scan"), "gate": ("compute_ibs",), "default": None},
     {"path": ("compute_ibs", "output_file_prefix"), "gate": ("compute_ibs",), "default": "ibs_neighbors"},
     # compute_haploid_genotypes
     {"path": ("compute_haploid_genotypes", "method"), "gate": ("compute_haploid_genotypes",), "default": "ibs"},

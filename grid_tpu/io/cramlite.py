@@ -1428,6 +1428,23 @@ class FastaReference:
             if name is not None:
                 self._mem[name] = "".join(chunks).upper().encode()
 
+    def close(self):
+        f = getattr(self, "_f", None)
+        if f is not None and not f.closed:
+            f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
     def fetch(self, name, start, end) -> bytes:
         start, end = max(0, int(start)), int(end)
         if self._mem is not None:
@@ -1540,6 +1557,8 @@ class CramReader:
 
     def close(self):
         self.f.close()
+        if self._fasta is not None:
+            self._fasta.close()
 
     def __enter__(self):
         return self
@@ -1593,8 +1612,8 @@ class CramReader:
             import os
 
             crai = self.path + ".crai"
-            if not os.path.exists(crai):
-                crai = self.path.replace(".cram", ".crai")
+            if not os.path.exists(crai) and self.path.endswith(".cram"):
+                crai = self.path[: -len(".cram")] + ".crai"
             if os.path.exists(crai):
                 yield from self._iter_indexed(crai, ref_id, start, end, decode_seq)
                 return

@@ -224,6 +224,41 @@ def write_neighbors(path, sample_ids, scales, nbr_ids, nbr_scales, nbr_norm_dist
                 out.write(f"{sid}\t{scales.get(sid, 1.0):.2f}\n")
 
 
+def write_neighbors_dense(path, sample_ids, scales, nbr_idx, nbr_norm_dists) -> None:
+    """Vectorized neighbors writer for dense ``[N, k]`` device outputs
+    (fused mode). Byte-identical to :func:`write_neighbors` fed the
+    equivalent nested lists, but formats whole columns with ``np.char.mod``
+    instead of building N*k Python tuples (ref format:
+    grid/utils/find_neighbors.py:231-267).
+
+    Args:
+        sample_ids: N IDs (row order).
+        scales: ``[N]`` per-sample scales.
+        nbr_idx: int ``[N, k]`` neighbor ROW indices into ``sample_ids``.
+        nbr_norm_dists: ``[N, k]`` already-normalized distances (sq/(2*R_use));
+            pass in the array's native dtype — formatting converts per-element
+            exactly like the list path did.
+    """
+    ids = np.asarray(sample_ids, dtype=object)
+    scales = np.asarray(scales)
+    nbr_idx = np.asarray(nbr_idx)
+    n, k = nbr_idx.shape
+    own = np.char.mod("%.2f", scales.astype(float))
+    cells = np.empty((n, 2 + 3 * k), dtype=object)
+    cells[:, 0] = ids
+    cells[:, 1] = own
+    if k:
+        cells[:, 2::3] = ids[nbr_idx]
+        cells[:, 3::3] = np.char.mod("%.2f", scales[nbr_idx])
+        cells[:, 4::3] = np.char.mod("%.2f", np.asarray(nbr_norm_dists))
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with gzip.open(path, "wt") as out:
+        for row in cells:
+            out.write("\t".join(row))
+            out.write("\n")
+
+
 def read_neighbors(path):
     """Parse a neighbors file (ref: grid/utils/compute_dipcn.py:105-152).
 

@@ -187,6 +187,7 @@ def pbwt_ibs_neighbors(H, cm, focal, focal_cm, k, max_scan=None):
     out_len = np.zeros((n_hap, k), dtype=np.float64)
     out_edge = np.zeros((n_hap, k), dtype=np.float64)
     count = np.zeros(n_hap, dtype=np.int32)
+    n_capped = 0  # haplotypes whose expansion hit max_scan pre-threshold
 
     for h in range(n_hap):
         gl = _Expander(aL, dL, invL, h, Lf)
@@ -234,6 +235,8 @@ def pbwt_ibs_neighbors(H, cm, focal, focal_cm, k, max_scan=None):
                         elif total > heap[0]:
                             heapq.heapreplace(heap, total)
             if exhausted or not progressed:
+                if not exhausted:  # both sides capped before the Fagin
+                    n_capped += 1  # threshold fired: top-k is best-effort
                 break
             if len(heap) >= k and heap[0] > bound_l + bound_r:
                 break
@@ -253,4 +256,14 @@ def pbwt_ibs_neighbors(H, cm, focal, focal_cm, k, max_scan=None):
             lcm, rcm = left_cm(a), right_cm(b)
             out_len[h, r] = lcm + rcm
             out_edge[h, r] = min(lcm, rcm)
+    if n_capped:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "pbwt_ibs_neighbors: max_scan=%d terminated expansion before the "
+            "Fagin threshold for %d/%d haplotypes — top-k is best-effort "
+            "there; raise max_scan (compute_ibs.max_scan / ibs --max-scan) "
+            "for exact results",
+            max_scan, n_capped, n_hap,
+        )
     return idx, out_len, out_edge, count

@@ -101,13 +101,17 @@ def sharded_cohort_step(
     sq_dists, nbr_idx = ring_knn(zp, params.num_neighbors, mesh, row_valid=sample_ok)
 
     # ---- step 6: dipCN (neighbor gather needs replicated reads/scales) --
+    # Replicate ON DEVICE: a jitted identity with replicated out_shardings
+    # compiles to one XLA all-gather over the mesh — no device_get/device_put
+    # host round-trip between the fused stages (design rule; at 100k-sample
+    # scale the host hop would serialize the gather through one process).
     rep = replicated_sharding(mesh)
-    reads_g = jax.device_put(jax.device_get(reads), rep)
-    scales_g = jax.device_put(jax.device_get(scales), rep)
-    reads_valid_g = jax.device_put(jax.device_get(reads_valid & sample_ok), rep)
+    reads_g, scales_g, reads_valid_g = jax.jit(
+        lambda *xs: xs, out_shardings=(rep, rep, rep)
+    )(reads, scales, reads_valid & sample_ok)
 
-    nbr_contrib = jnp.asarray(reads_g)[nbr_idx] / jnp.asarray(scales_g)[nbr_idx]
-    nbr_usable = jnp.asarray(reads_valid_g)[nbr_idx]
+    nbr_contrib = reads_g[nbr_idx] / scales_g[nbr_idx]
+    nbr_usable = reads_valid_g[nbr_idx]
     dipcn, dipcn_valid = compute_dipcn(
         jnp.asarray(reads) / scales,
         reads_valid & sample_ok,
@@ -118,7 +122,8 @@ def sharded_cohort_step(
 
     # ---- step 7: replicated phasing ------------------------------------
     irrs = jnp.where(dipcn_valid, dipcn, jnp.nan)
-    irrs_g = jax.device_put(jax.device_get(irrs)[: hap_nbr_idx.shape[0] // 2], rep)
+    n_samp = hap_nbr_idx.shape[0] // 2
+    irrs_g = jax.jit(lambda x: x[:n_samp], out_shardings=rep)(irrs)
     phasing = phase_haplotypes(
         irrs_g, hap_nbr_idx, hap_nbr_w, hap_nbr_valid, params.min_nbr, params.n_iters
     )

@@ -193,8 +193,15 @@ def run_wgs_pipeline(console=None, config=None, validate: bool = True):
     # Must run before steps 4-7 (fused or sequential) — its output feeds
     # step 7's ibs_output.
     if config_data.get("compute_ibs", {}).get("run") is True:
-        from grid_tpu.steps.ibs import compute_ibs
+        from grid_tpu.steps.ibs import compute_ibs, default_ibs_output
 
+        # Derive the downstream ibs_output default BEFORE the gated call:
+        # a resume-skipped compute_ibs must still point hi_inference at the
+        # existing neighbors file (the step body's setdefault never runs
+        # when the step is skipped).
+        hap_cfg = config_data.setdefault("compute_haploid_genotypes", {})
+        if not hap_cfg.get("ibs_output"):
+            hap_cfg["ibs_output"] = str(default_ibs_output(config_data))
         gated(config_data.get("compute_ibs", {}), "compute_ibs", compute_ibs)
 
     from grid_tpu.steps.fused import fused_steps_enabled, run_fused_steps

@@ -29,7 +29,7 @@ from grid_tpu.io.formats import (
     read_samples,
     write_dipcn,
     write_haploid_output,
-    write_neighbors,
+    write_neighbors_dense,
     write_normalized_output,
 )
 from grid_tpu.io.hap_neighbors import (
@@ -188,11 +188,10 @@ def run_fused_steps(config, console=None, timer=None):
         zmax = params.zmax
         nbr_path = neighbors_filename(output_dir, kcfg.get("output_file_prefix"), zmax, out_type)
         r_use = max(int(out.r_use), 1)
-        scales_by_row = out.scales
-        nbr_ids = [[stage.sample_ids[j] for j in out.nbr_idx[i]] for i in range(n)]
-        nbr_scales = [[scales_by_row[j] for j in out.nbr_idx[i]] for i in range(n)]
-        nbr_dists = [list(out.nbr_sq_dists[i] / (2 * r_use)) for i in range(n)]
-        write_neighbors(nbr_path, stage.sample_ids, list(scales_by_row), nbr_ids, nbr_scales, nbr_dists)
+        write_neighbors_dense(
+            nbr_path, stage.sample_ids, out.scales, out.nbr_idx,
+            out.nbr_sq_dists / (2 * r_use),
+        )
 
         # step 6 artifact
         dip_path = Path(output_dir) / f"{dcfg.get('output_file_prefix')}.{out_type}"

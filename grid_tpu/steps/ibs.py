@@ -121,6 +121,14 @@ def compute_ibs_neighbors(
     return out
 
 
+def default_ibs_output(config) -> Path:
+    """The path ``compute_ibs`` writes for a given config — derived by the
+    orchestrator too, so a resume-skipped step still feeds hi_inference."""
+    section = config.get("compute_ibs", {})
+    out_dir = Path(config.get("output_dir", "."))
+    return out_dir / f"{section.get('output_file_prefix', 'ibs_neighbors')}.tsv.gz"
+
+
 def compute_ibs(config, console=None):
     """Config-driven pipeline step (grid_tpu addition — the reference treats
     IBS neighbors as externally-prepared input). Writes
@@ -129,8 +137,7 @@ def compute_ibs(config, console=None):
     result so a single ``wgs`` run goes from phased panel to haploid CNs.
     """
     section = config.get("compute_ibs", {})
-    out_dir = Path(config.get("output_dir", "."))
-    out = out_dir / f"{section.get('output_file_prefix', 'ibs_neighbors')}.tsv.gz"
+    out = default_ibs_output(config)
     compute_ibs_neighbors(
         output=out,
         focal_bp=section["focal_bp"],
@@ -141,6 +148,7 @@ def compute_ibs(config, console=None):
         genetic_map=section.get("genetic_map"),
         num_neighbors=section.get("num_neighbors", 200),
         threads=config.get("threads", 1),
+        max_scan=section.get("max_scan"),
         backend=section.get("backend", "auto"),
         console=console,
     )

@@ -94,6 +94,42 @@ def test_neighbors_roundtrip(tmp_path):
     assert neighbors["B"] == [("A", 1.11, 0.05)]
 
 
+def test_write_neighbors_dense_byte_identical(tmp_path):
+    """The vectorized fused-mode writer must produce the exact bytes the
+    list-based writer produces for the same dense [N, k] neighbor data."""
+    from grid_tpu.io.formats import write_neighbors_dense
+
+    rng = np.random.default_rng(7)
+    n, k = 23, 5
+    ids = [f"S{i:03d}" for i in range(n)]
+    scales = rng.uniform(0.5, 2.0, n).astype(np.float32)
+    nbr_idx = np.stack([rng.permutation(n)[:k] for _ in range(n)])
+    sq = rng.uniform(0, 50, (n, k)).astype(np.float32)
+    r_use = 17
+    norm = sq / (2 * r_use)
+
+    p_list = tmp_path / "a.tsv.gz"
+    p_dense = tmp_path / "b.tsv.gz"
+    write_neighbors(
+        p_list, ids, list(scales),
+        [[ids[j] for j in nbr_idx[i]] for i in range(n)],
+        [[scales[j] for j in nbr_idx[i]] for i in range(n)],
+        [list(sq[i] / (2 * r_use)) for i in range(n)],
+    )
+    write_neighbors_dense(p_dense, ids, scales, nbr_idx, norm)
+    with gzip.open(p_list, "rb") as f:
+        a = f.read()
+    with gzip.open(p_dense, "rb") as f:
+        b = f.read()
+    assert a == b
+
+    # k=0 degenerate: one ID + scale per line
+    p0 = tmp_path / "c.tsv.gz"
+    write_neighbors_dense(p0, ids[:2], scales[:2], np.zeros((2, 0), int), np.zeros((2, 0)))
+    with gzip.open(p0, "rt") as f:
+        assert f.readline().rstrip("\n") == f"S000\t{float(scales[0]):.2f}"
+
+
 def test_dipcn_roundtrip(tmp_path):
     p = tmp_path / "dip.tsv"
     write_dipcn(p, ["X", "Y"], [1.9666666666666668, 2.0])
