@@ -50,14 +50,68 @@ def cli():
 @cli.command()
 @click.argument("config", type=click.Path(exists=True))
 @click.option("--no-validate", is_flag=True, help="Skip config validation (reference parity).")
-def wgs(config, no_validate):
+@click.option("--locus", default=None, metavar="GENE",
+              help="Resolve the VNTR window from the bundled 734-region "
+                   "catalog (overrides chrom/start_bp/end_bp), e.g. LPA.")
+@click.option("--catalog", default=None, type=click.Path(exists=True),
+              help="Alternative VNTR catalog table for --locus.")
+def wgs(config, no_validate, locus, catalog):
     """Run the full WGS pipeline from a YAML CONFIG."""
     console = _console()
     if console:
         console.print(BANNER, style="info")
+    from grid_tpu.config import load_config
     from grid_tpu.pipeline import run_wgs_pipeline
 
-    run_wgs_pipeline(console, config, validate=not no_validate)
+    cfg = load_config(config)
+    if locus:
+        from grid_tpu.data.loci import resolve_locus
+
+        try:
+            hit = resolve_locus(locus, catalog)
+        except KeyError as e:
+            raise click.ClickException(str(e))
+        cfg["chrom"], cfg["start_bp"], cfg["end_bp"] = hit.chrom, hit.start, hit.end
+        log(console, f"Locus {locus}: {hit.chrom}:{hit.start:,}-{hit.end:,} "
+                     f"(catalog gene {hit.gene})", style="info")
+    run_wgs_pipeline(console, cfg, validate=not no_validate)
+
+
+@cli.command(name="multi-locus")
+@click.argument("config", type=click.Path(exists=True))
+@click.option("--locus", "loci", multiple=True, required=True, metavar="GENE",
+              help="Catalog gene to sweep (repeatable).")
+@click.option("--catalog", default=None, type=click.Path(exists=True),
+              help="Alternative VNTR catalog table.")
+def multi_locus(config, loci, catalog):
+    """Sweep many VNTR loci in one run: the locus-independent cohort steps
+    (coverage, normalize, kNN) run ONCE; window counting, dipCN and phasing
+    repeat per locus with .GENE-suffixed artifacts. (grid_tpu extension —
+    the reference is single-locus per run.)"""
+    console = _console()
+    if console:
+        console.print(BANNER, style="info")
+    from grid_tpu.steps.multilocus import run_multi_locus
+
+    run_multi_locus(config, list(loci), console, catalog)
+
+
+@cli.command(name="loci")
+@click.option("--gene", default=None, help="Filter by (sub)string match.")
+@click.option("--catalog", default=None, type=click.Path(exists=True))
+@click.option("--limit", default=20, show_default=True, type=int)
+def loci_cmd(gene, catalog, limit):
+    """List/search the bundled 734-region VNTR catalog
+    (Mukamel 2021; ref files/734_possible_coding_vntr_regions...txt)."""
+    from grid_tpu.data.loci import load_vntr_catalog
+
+    table = load_vntr_catalog(catalog)
+    if gene:
+        table = [l for l in table if gene.lower() in l.gene.lower()]
+    for locus in table[:limit]:
+        click.echo(f"{locus.gene}\t{locus.chrom}:{locus.start}-{locus.end}")
+    if len(table) > limit:
+        click.echo(f"... {len(table) - limit} more (raise --limit)")
 
 
 @cli.command()
