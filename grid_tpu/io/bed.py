@@ -123,6 +123,57 @@ def read_regions_bed_gz(
     )
 
 
+def read_regions_bed_gz_grouped(path, excluded=None):
+    """Multi-chromosome variant of :func:`read_regions_bed_gz`: same filter
+    semantics (depth > 0, repeat-mask exclusion), NO window restriction, and
+    the chromosome is preserved.
+
+    Returns a list of ``(chrom, starts, ends, depths)`` segments in file
+    order — mosdepth output is grouped by chromosome, so typically one
+    segment per chromosome.
+    """
+    excluded = excluded or {}
+    segments: list[tuple[str, np.ndarray, np.ndarray, np.ndarray]] = []
+    cur = None
+    starts: list[int] = []
+    ends: list[int] = []
+    depths: list[float] = []
+
+    def _emit():
+        if cur is not None and starts:
+            segments.append(
+                (
+                    cur,
+                    np.asarray(starts, np.int64),
+                    np.asarray(ends, np.int64),
+                    np.asarray(depths, np.float64),
+                )
+            )
+
+    with gzip.open(path, "rt") as f:
+        for line in f:
+            fields = line.strip().split("\t")
+            if len(fields) < 4:
+                continue
+            chrom_f = norm_chrom(fields[0])
+            try:
+                reg_start = int(fields[1])
+                reg_end = int(fields[2])
+                depth = float(fields[3])
+            except ValueError:
+                continue
+            if depth <= 0 or region_overlaps_mask(chrom_f, reg_start, reg_end, excluded):
+                continue
+            if chrom_f != cur:
+                _emit()
+                cur, starts, ends, depths = chrom_f, [], [], []
+            starts.append(reg_start)
+            ends.append(reg_end)
+            depths.append(depth)
+    _emit()
+    return segments
+
+
 def _native_reader():
     """Return the native bed.gz reader callable, or None if unavailable."""
     try:

@@ -212,6 +212,313 @@ def stage_cohort(
     return CohortStage(sample_ids=sample_ids, regions=regions, values=values, mask=mask)
 
 
+# --------------------------------------------------- shard-direct stager ---
+
+
+class ShardedCohortStage(NamedTuple):
+    """Cohort staged straight onto a device mesh — the biobank path.
+
+    The global [N, R] matrix exists ONLY as a sharded jax.Array: each row
+    shard was filled into a host buffer of shape [N_pad/n_shards, R] and
+    device_put to its shard's device, so peak HOST memory is
+    O(N*R/n_shards + R) instead of the full matrix (the ceiling being
+    beaten: grid/utils/normalize_mosdepth.py:379-416 builds the whole
+    N x R matrix on one node).
+
+    Attributes:
+        sample_ids: N IDs in row order (padding rows excluded).
+        chroms: chromosome names, index = chrom id in ``regions``.
+        regions: [R, 3] int64 (chrom_id, start, end), sorted by
+            (chrom name order, start).
+        values / mask / row_valid: device arrays with cohort sharding
+            ([N_pad, R] dtype, [N_pad, R] bool, [N_pad] bool).
+        n: real (unpadded) row count.
+    """
+
+    sample_ids: list
+    chroms: list
+    regions: np.ndarray
+    values: object
+    mask: object
+    row_valid: object
+    n: int
+
+
+class _PopulationAccum:
+    """O(R) streaming accumulator of per-region population sums/counts.
+
+    Regions are keyed by ``(chrom_id << 32) | start`` (one region per
+    (chrom, start) — duplicate starts with differing ends collapse
+    last-wins, matching the regular-grid reality of mosdepth output and the
+    existing streaming stager's semantics). Misses are buffered and merged
+    in bulk, so per-sample cost is O(R_sample log R) searchsorted, not a
+    re-sort of the universe.
+    """
+
+    def __init__(self):
+        self.keys = np.empty(0, np.uint64)
+        self.sums = np.empty(0, np.float64)
+        self.counts = np.empty(0, np.int64)
+        self.ends = np.empty(0, np.int64)
+        self._pk: list = []
+        self._pd: list = []
+        self._pe: list = []
+        self._pending = 0
+
+    def add(self, keys, depths, ends):
+        if len(self.keys):
+            pos = np.searchsorted(self.keys, keys)
+            pc = pos.clip(max=len(self.keys) - 1)
+            hit = (pos < len(self.keys)) & (self.keys[pc] == keys)
+            np.add.at(self.sums, pc[hit], depths[hit])
+            np.add.at(self.counts, pc[hit], 1)
+            self.ends[pc[hit]] = ends[hit]
+            miss = ~hit
+        else:
+            miss = np.ones(len(keys), bool)
+        if miss.any():
+            self._pk.append(keys[miss])
+            self._pd.append(depths[miss])
+            self._pe.append(ends[miss])
+            self._pending += int(miss.sum())
+            if self._pending >= max(len(self.keys) // 2, 4096):
+                self.flush()
+
+    def flush(self):
+        if not self._pk:
+            return
+        pk = np.concatenate(self._pk)
+        pd = np.concatenate(self._pd)
+        pe = np.concatenate(self._pe)
+        uk, inv = np.unique(np.concatenate([self.keys, pk]), return_inverse=True)
+        sums = np.zeros(len(uk))
+        counts = np.zeros(len(uk), np.int64)
+        ends = np.zeros(len(uk), np.int64)
+        old = inv[: len(self.keys)]
+        sums[old] = self.sums
+        counts[old] = self.counts
+        ends[old] = self.ends
+        new = inv[len(self.keys):]
+        np.add.at(sums, new, pd)
+        np.add.at(counts, new, 1)
+        ends[new] = pe
+        self.keys, self.sums, self.counts, self.ends = uk, sums, counts, ends
+        self._pk, self._pd, self._pe = [], [], []
+        self._pending = 0
+
+
+def _sample_keys(chrom_ids: dict, segments):
+    """Composite keys + depths + ends for one sample's grouped segments,
+    deduped last-wins within the sample."""
+    keys_l, depths_l, ends_l = [], [], []
+    for chrom, s, e, d in segments:
+        cid = chrom_ids.setdefault(chrom, len(chrom_ids))
+        keys_l.append((np.uint64(cid) << np.uint64(32)) | s.astype(np.uint64))
+        depths_l.append(d)
+        ends_l.append(e)
+    if not keys_l:
+        z = np.empty(0, np.uint64)
+        return z, np.empty(0, np.float64), np.empty(0, np.int64)
+    keys = np.concatenate(keys_l)
+    depths = np.concatenate(depths_l)
+    ends = np.concatenate(ends_l)
+    # last occurrence of each key wins (reference dict-overwrite semantics)
+    _, idx = np.unique(keys[::-1], return_index=True)
+    keep = np.sort(len(keys) - 1 - idx)
+    return keys[keep], depths[keep], ends[keep]
+
+
+def stage_cohort_sharded(
+    source,
+    mesh,
+    min_depth: float,
+    max_depth: float,
+    threads: int = 1,
+    dtype=np.float32,
+    console=None,
+) -> ShardedCohortStage:
+    """Bounded-memory staging straight onto a device mesh: multi-chromosome,
+    irregular grids, any N.
+
+    Two passes over the samples, like the reference's own two-pass design
+    (grid/utils/normalize_mosdepth.py:218-357) but with O(R) accumulators
+    and per-shard row buffers instead of the global matrix:
+
+    - pass 1 streams every sample once into a population accumulator
+      (region universe + mean depths), discarding the arrays;
+    - regions kept iff ``min_depth <= mean <= max_depth``;
+    - pass 2 streams again, filling one [rows_per_shard, R] host buffer at a
+      time and ``jax.device_put``-ing it to its shard's device (transfers
+      overlap the next shard's scan — device_put is asynchronous).
+
+    Args:
+        source: callable returning a FRESH iterator of
+            ``(sample_id, segments)`` with segments a list of
+            ``(chrom, starts, ends, depths)`` (see
+            :func:`grid_tpu.io.bed.read_regions_bed_gz_grouped`); called
+            once per pass. Use :func:`bed_source` for mosdepth directories.
+        mesh: 1-D cohort mesh; rows are sharded over it.
+        threads: pass-2 scan parallelism within a shard.
+
+    Samples whose regions all fail the filter keep their row (mask
+    all-False) and are excluded via ``row_valid`` — unlike
+    :func:`stage_cohort` they are not dropped from the row universe, which
+    would need a third pass at this scale.
+    """
+    import jax
+
+    from grid_tpu.parallel.mesh import cohort_sharding
+
+    # ---- pass 1: population accumulation --------------------------------
+    chrom_ids: dict[str, int] = {}
+    accum = _PopulationAccum()
+    sample_ids: list = []
+    for sid, segments in source():
+        sample_ids.append(sid)
+        keys, depths, ends = _sample_keys(chrom_ids, segments)
+        if len(keys):
+            accum.add(keys, depths, ends)
+    accum.flush()
+    if len(accum.keys) == 0:
+        raise ValueError("No valid samples with regions found.")
+
+    with np.errstate(invalid="ignore"):
+        means = accum.sums / np.maximum(accum.counts, 1)
+    keep = (accum.counts > 0) & (means >= min_depth) & (means <= max_depth)
+    kept_keys = accum.keys[keep]
+    kept_ends = accum.ends[keep]
+
+    # column order: (chromosome name, start) ascending
+    cid_of = (kept_keys >> np.uint64(32)).astype(np.int64)
+    start_of = (kept_keys & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    chroms_sorted = sorted(chrom_ids, key=str)
+    rank_of_cid = np.empty(len(chrom_ids), np.int64)
+    for rank, name in enumerate(chroms_sorted):
+        rank_of_cid[chrom_ids[name]] = rank
+    order = np.lexsort((start_of, rank_of_cid[cid_of]))
+    kept_keys = kept_keys[order]
+    regions = np.stack(
+        [rank_of_cid[cid_of[order]], start_of[order], kept_ends[order]], axis=1
+    )
+    # remap composite keys to the final chrom-rank ids for pass-2 lookups
+    lookup_keys = (
+        (regions[:, 0].astype(np.uint64) << np.uint64(32))
+        | regions[:, 1].astype(np.uint64)
+    )
+    sort_back = np.argsort(lookup_keys, kind="stable")
+    lookup_sorted = lookup_keys[sort_back]
+    r = len(regions)
+
+    n = len(sample_ids)
+    n_dev = int(mesh.devices.size)
+    rows_per = -(-n // n_dev)
+    n_pad = rows_per * n_dev
+    row_valid_host = np.zeros(n_pad, bool)
+
+    # ---- pass 2: per-shard fill + direct device placement ----------------
+    devices = list(mesh.devices.flat)
+    val_shards, mask_shards = [], []
+    it = source()
+    rank_by_name = {name: i for i, name in enumerate(chroms_sorted)}
+
+    def _fill_row(vbuf, mbuf, local_i, segments):
+        keys, depths, _ = _sample_keys_ranked(rank_by_name, segments)
+        if not len(keys):
+            return
+        pos = np.searchsorted(lookup_sorted, keys)
+        pc = pos.clip(max=max(r - 1, 0))
+        hit = (pos < r) & (lookup_sorted[pc] == keys) if r else np.zeros(len(keys), bool)
+        cols = sort_back[pc[hit]]
+        vbuf[local_i, cols] = depths[hit]
+        mbuf[local_i, cols] = True
+
+    done = 0
+    for d in range(n_dev):
+        vbuf = np.zeros((rows_per, r), dtype=dtype)
+        mbuf = np.zeros((rows_per, r), dtype=bool)
+        local = 0
+        while local < rows_per and done < n:
+            try:
+                sid, segments = next(it)
+            except StopIteration:
+                break
+            _fill_row(vbuf, mbuf, local, segments)
+            row_valid_host[done] = bool(mbuf[local].any())
+            local += 1
+            done += 1
+        val_shards.append(jax.device_put(vbuf, devices[d]))
+        mask_shards.append(jax.device_put(mbuf, devices[d]))
+
+    s2 = cohort_sharding(mesh, 2)
+    s1 = cohort_sharding(mesh, 1)
+    values = jax.make_array_from_single_device_arrays((n_pad, r), s2, val_shards)
+    mask_arr = jax.make_array_from_single_device_arrays((n_pad, r), s2, mask_shards)
+    rv_shards = [
+        jax.device_put(row_valid_host[d * rows_per:(d + 1) * rows_per], devices[d])
+        for d in range(n_dev)
+    ]
+    row_valid = jax.make_array_from_single_device_arrays((n_pad,), s1, rv_shards)
+
+    n_empty = n - int(row_valid_host.sum())
+    if n_empty:
+        log(console, f"{n_empty} samples have 0 surviving regions", style="warning")
+    return ShardedCohortStage(
+        sample_ids=sample_ids,
+        chroms=chroms_sorted,
+        regions=regions,
+        values=values,
+        mask=mask_arr,
+        row_valid=row_valid,
+        n=n,
+    )
+
+
+def _sample_keys_ranked(rank_by_name: dict, segments):
+    """Like :func:`_sample_keys` but with FIXED chrom->rank ids (pass 2);
+    segments on chroms unseen in pass 1 are dropped (cannot be in the
+    region universe)."""
+    keys_l, depths_l, ends_l = [], [], []
+    for chrom, s, e, d in segments:
+        rank = rank_by_name.get(chrom)
+        if rank is None:
+            continue
+        keys_l.append((np.uint64(rank) << np.uint64(32)) | s.astype(np.uint64))
+        depths_l.append(d)
+        ends_l.append(e)
+    if not keys_l:
+        z = np.empty(0, np.uint64)
+        return z, np.empty(0, np.float64), np.empty(0, np.int64)
+    keys = np.concatenate(keys_l)
+    depths = np.concatenate(depths_l)
+    ends = np.concatenate(ends_l)
+    _, idx = np.unique(keys[::-1], return_index=True)
+    keep = np.sort(len(keys) - 1 - idx)
+    return keys[keep], depths[keep], ends[keep]
+
+
+def bed_source(mosdepth_dir, samples, excluded=None, console=None):
+    """A :func:`stage_cohort_sharded` source over a mosdepth directory:
+    each call returns a fresh per-sample iterator of grouped segments
+    (multi-chromosome, repeat-mask filtered). Sample order is sorted by ID
+    (reference row order)."""
+    from grid_tpu.io.bed import map_bed_gz_to_samples, read_regions_bed_gz_grouped
+
+    sample_to_bed = map_bed_gz_to_samples(mosdepth_dir, samples)
+    if not sample_to_bed:
+        raise FileNotFoundError(f"No mosdepth files found in {mosdepth_dir}")
+    ordered = sorted(sample_to_bed)
+
+    def _iter():
+        for sid in ordered:
+            try:
+                yield sid, read_regions_bed_gz_grouped(sample_to_bed[sid], excluded)
+            except Exception as exc:  # per-sample failure: cohort continues
+                log(console, f"Error reading {sid}: {exc}", style="danger")
+                yield sid, []
+
+    return _iter
+
+
 # ------------------------------------------------------- streaming stager ---
 
 

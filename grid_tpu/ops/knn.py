@@ -113,6 +113,11 @@ def knn_squared(z, k: int, row_valid=None, row_block: int = 512,
             op, ~5x faster than ``lax.top_k`` at cohort scale; with the
             default ``recall_target=1.0`` it aggregates to an exact top-k
             (measured 100% set agreement). "top_k" forces ``lax.top_k``.
+            "bisect" uses the exact threshold-bisection selection
+            (:func:`grid_tpu.ops.select.sorted_smallest_k`) — memory-bound
+            compare/count passes instead of per-row k-element selection
+            state; the winner when k is a large fraction of N (see
+            docs/perf.md).
         recall_target: recall for the approx selector (1.0 = exact).
         col_block: two-stage selection width. Selection over very wide
             panels is the large-N bottleneck; splitting the N columns into
@@ -127,9 +132,11 @@ def knn_squared(z, k: int, row_valid=None, row_block: int = 512,
     n = z.shape[0]
     if k > n - 1:
         raise ValueError(f"k={k} must be <= N-1={n - 1}")
-    if selector not in ("approx", "top_k"):
+    if selector not in ("approx", "top_k", "bisect"):
         raise ValueError(f"unknown selector {selector!r}")
-    if col_block is None and n > 16384:
+    if selector == "bisect":
+        col_block = None  # bisection scans the whole row; two-stage is moot
+    elif col_block is None and n > 16384:
         col_block = 8192
     if col_block is not None and (col_block >= n or col_block <= k):
         col_block = None  # two-stage has nothing to gain at these shapes
@@ -174,6 +181,10 @@ def knn_squared(z, k: int, row_valid=None, row_block: int = 512,
             cand_i = (idx + base).reshape(b, ncb * k)
             neg2, pos = jax.lax.top_k(-cand_d, k)
             return carry, (-neg2, jnp.take_along_axis(cand_i, pos, axis=1))
+        if selector == "bisect":
+            from grid_tpu.ops.select import sorted_smallest_k
+
+            return carry, sorted_smallest_k(d2, k)
         if selector == "approx":
             neg, idx = jax.lax.approx_max_k(-d2, k, recall_target=recall_target)
         else:

@@ -1,0 +1,212 @@
+"""Exact sorted top-k-smallest selection via threshold bisection.
+
+Replaces ``lax.approx_max_k`` in the kNN hot path (the reference hot loop is
+``grid/utils/find_neighbors.py:179-227``; here selection is the single
+largest cost of the fused steps 4-6 — see docs/perf.md). The TPU
+PartialReduce op must maintain k-element state per row, which at the
+pipeline's k=500 is most of the row; this scheme instead decomposes
+selection into the primitives the hardware is actually fast at — full-array
+compares/reductions (VPU, memory-bound), cumulative sums, and tiny gathers:
+
+1. bitcast the non-negative f32 distances to int32 (order-preserving);
+2. per-row BISECTION on the key space for the exact k-th smallest key
+   (``rounds`` fused compare+count passes over the panel);
+3. one pass for tie bookkeeping: count(u < t) and a cumulative tie rank, so
+   ties at the threshold break by ascending column exactly like a stable
+   argsort (sklearn parity);
+4. the compaction permutation comes from a batched binary SEARCH over the
+   running count (log2 W gathers of [N, k]) — no scatter, no sort of the
+   full row;
+5. one stable [N, k] sort orders the k survivors by value.
+
+Everything is O(rounds * N * W) elementwise work + O(N * k * log W) gather —
+bounded by memory bandwidth, independent of k's share of the row.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+# order-preserving integer key type per float dtype (values are >= 0, so the
+# raw bit pattern as a SIGNED int of the same width is monotone)
+_KEY_TYPES = {
+    jnp.dtype(jnp.float32): jnp.int32,
+    jnp.dtype(jnp.float64): jnp.int64,
+    jnp.dtype(jnp.bfloat16): jnp.int16,
+    jnp.dtype(jnp.float16): jnp.int16,
+}
+
+
+def _kth_smallest_key(u, k):
+    """Exact k-th smallest integer key per row of ``u`` [N, W] (keys are
+    bitcast from non-negative floats, so non-negative). ``k`` may be a
+    static int or a per-row [N] int array (1 <= k <= W; rows with k <= 0
+    return an undefined value the caller must mask)."""
+    n = u.shape[0]
+    bits = 8 * u.dtype.itemsize
+    kt = u.dtype.type
+    k_arr = jnp.asarray(k, jnp.int32)
+    if k_arr.ndim == 0:
+        k_arr = jnp.full((n,), k_arr)
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = lo + (hi - lo) // 2
+        cnt = jnp.sum((u <= mid[:, None]).astype(jnp.int32), axis=1)
+        ge = cnt >= k_arr
+        return jnp.where(ge, lo, mid + 1), jnp.where(ge, mid, hi)
+
+    lo = jnp.zeros((n,), u.dtype)
+    hi = jnp.full((n,), kt((1 << (bits - 1)) - 1))
+    lo, hi = jax.lax.fori_loop(0, bits - 1, body, (lo, hi))
+    return hi
+
+
+def _tie_cut_column(tie_mask, need):
+    """Smallest column c such that ``count(tie & col <= c) >= need`` per
+    row — the ascending-column tie trim, found by bisection on the column
+    index (count passes only; no prefix arrays, no gathers).
+
+    Rows with need <= 0 return -1 (no ties taken)."""
+    n, w = tie_mask.shape
+    cols = jax.lax.broadcasted_iota(jnp.int32, (n, w), 1)
+    need = jnp.asarray(need, jnp.int32)
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = lo + (hi - lo) // 2
+        cnt = jnp.sum((tie_mask & (cols <= mid[:, None])).astype(jnp.int32), axis=1)
+        ge = cnt >= need
+        return jnp.where(ge, lo, mid + 1), jnp.where(ge, mid, hi)
+
+    lo = jnp.zeros((n,), jnp.int32)
+    hi = jnp.full((n,), w - 1, jnp.int32)
+    steps = max(int(w - 1).bit_length(), 1)
+    lo, hi = jax.lax.fori_loop(0, steps, body, (lo, hi))
+    return jnp.where(need > 0, hi, -1)
+
+
+def smallest_k_mask(d2, k):
+    """Exact membership mask of the k smallest values per row (ties broken
+    by ascending column, stable-argsort parity) — [N, W] bool with exactly
+    ``min(k, W)`` True per row, built from count passes only.
+
+    ``k`` may be static or per-row [N]; rows with k <= 0 get empty masks.
+    """
+    key_type = _KEY_TYPES.get(jnp.dtype(d2.dtype))
+    if key_type is None:
+        raise ValueError(f"unsupported dtype {d2.dtype}")
+    u = jax.lax.bitcast_convert_type(d2, key_type)
+    t = _kth_smallest_key(u, k)
+    below = u < t[:, None]
+    at = u == t[:, None]
+    k_arr = jnp.asarray(k, jnp.int32)
+    if k_arr.ndim == 0:
+        k_arr = jnp.full((u.shape[0],), k_arr)
+    need = k_arr - jnp.sum(below.astype(jnp.int32), axis=1)
+    cut = _tie_cut_column(at, need)
+    cols = jax.lax.broadcasted_iota(jnp.int32, u.shape, 1)
+    mask = below | (at & (cols <= cut[:, None]))
+    return jnp.where((k_arr > 0)[:, None], mask, False)
+
+
+@partial(jax.jit, static_argnames=("k", "n_nbr"))
+def dipcn_from_distances(d2, rnorm, nbr_w, col_usable, sample_valid,
+                         k: int, n_nbr: int):
+    """dipCN straight from the distance matrix — no neighbor-list
+    materialization, no gathers (they are the TPU-slow ops; docs/perf.md).
+
+    Exactly equivalent to gathering the k nearest neighbors (ascending,
+    stable ties) and running :func:`grid_tpu.ops.dipcn.compute_dipcn`:
+    the "first n_nbr usable of the k nearest" prefix becomes a second
+    thresholding restricted to usable members of the k-set, and the final
+    mean is one masked matvec.
+
+    Args:
+        d2: [N, N] pairwise squared distances with self and invalid-row
+            columns already set to a large FINITE value.
+        rnorm: [N] reads_i / scale_i.
+        nbr_w: [N] reads_j / scale_j contribution of each column.
+        col_usable: [N] bool — column j may be averaged (has a read count).
+        sample_valid: [N] bool.
+        k / n_nbr: neighbor-list length and averaging depth.
+
+    Returns (dipcn [N], out_valid [N]) — same contract as compute_dipcn.
+    """
+    key_type = _KEY_TYPES.get(jnp.dtype(d2.dtype))
+    if key_type is None:
+        raise ValueError(f"unsupported dtype {d2.dtype}")
+    big = jnp.asarray(jnp.iinfo(key_type).max, key_type)
+
+    in_sk = smallest_k_mask(d2, k)
+    u = jax.lax.bitcast_convert_type(d2, key_type)
+    uu = jnp.where(in_sk & col_usable[None, :], u, big)
+
+    cnt_usable = jnp.sum((uu < big).astype(jnp.int32), axis=1)
+    m_eff = jnp.minimum(cnt_usable, n_nbr)
+
+    t_m = _kth_smallest_key(uu, m_eff)
+    below = uu < t_m[:, None]
+    at = uu == t_m[:, None]
+    need = m_eff - jnp.sum(below.astype(jnp.int32), axis=1)
+    cut = _tie_cut_column(at, need)
+    cols = jax.lax.broadcasted_iota(jnp.int32, uu.shape, 1)
+    take = below | (at & (cols <= cut[:, None]))
+    take = take & (m_eff > 0)[:, None]
+
+    w = jnp.asarray(nbr_w, d2.dtype)
+    tot = jnp.sum(jnp.where(take, w[None, :], 0), axis=1)
+    nbr_mean = tot / jnp.maximum(m_eff, 1)
+    dipcn = jnp.asarray(rnorm, d2.dtype) / nbr_mean
+    out_valid = jnp.asarray(sample_valid, bool) & (m_eff > 0)
+    return dipcn, out_valid
+
+
+@partial(jax.jit, static_argnames=("k",))
+def sorted_smallest_k(d2, k: int):
+    """Exact k smallest values per row with original column indices,
+    ascending, ties broken by ascending column (stable-argsort parity).
+
+    Args:
+        d2: [N, W] NON-NEGATIVE finite f32 (use finfo.max, not inf, for
+            masked entries).
+        k: 1 <= k <= W.
+
+    Returns (vals [N, k] ascending, idx [N, k] int32).
+    """
+    n, w = d2.shape
+    key_type = _KEY_TYPES.get(jnp.dtype(d2.dtype))
+    if key_type is None:
+        raise ValueError(f"unsupported dtype {d2.dtype}")
+    u = jax.lax.bitcast_convert_type(d2, key_type)
+    t = _kth_smallest_key(u, k)
+
+    below = u < t[:, None]
+    at = u == t[:, None]
+    c_lt = jnp.sum(below.astype(jnp.int32), axis=1)
+    tie_rank = jnp.cumsum(at.astype(jnp.int32), axis=1)
+    keep = below | (at & (tie_rank <= (k - c_lt)[:, None]))
+
+    # compaction permutation: first column j with cumsum(keep)[j] == s,
+    # for s = 1..k, via batched binary search (no scatter)
+    cs = jnp.cumsum(keep.astype(jnp.int32), axis=1)
+    targets = jnp.arange(1, k + 1, dtype=jnp.int32)[None, :]
+    lo = jnp.zeros((n, k), jnp.int32)
+    hi = jnp.full((n, k), w - 1, jnp.int32)
+    steps = max(int(w - 1).bit_length(), 1)
+    for _ in range(steps):
+        mid = lo + (hi - lo) // 2
+        v = jnp.take_along_axis(cs, mid, axis=1)
+        ge = v >= targets
+        lo = jnp.where(ge, lo, mid + 1)
+        hi = jnp.where(ge, mid, hi)
+
+    idx = hi
+    vals = jnp.take_along_axis(d2, idx, axis=1)
+    # order by value; stable keeps ascending-column order among exact ties
+    vals, idx = jax.lax.sort((vals, idx), dimension=1, num_keys=1, is_stable=True)
+    return vals, idx

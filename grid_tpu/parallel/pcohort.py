@@ -60,6 +60,7 @@ def sharded_cohort_step(
     hap_nbr_w,
     hap_nbr_valid,
     params: CohortParams = CohortParams(),
+    row_valid=None,
 ) -> CohortOutputs:
     """Explicit-collective variant. Host-side entry: pads + shards inputs,
     then runs psum-stats -> ring kNN -> local dipCN -> replicated phasing.
@@ -69,10 +70,15 @@ def sharded_cohort_step(
         reads/reads_valid: [N].
         hap_nbr_*: [2N, K] padded haplotype neighbors (replicated).
         params: static hyperparameters.
+        row_valid: pass the staged row-validity mask to skip the host-side
+            pad+shard (inputs must already be [N_pad, ...] device arrays
+            with cohort shardings — the :func:`stage_cohort_sharded` path,
+            where the global matrix never exists on the host).
     """
-    values, mask, reads, reads_valid, row_valid = shard_cohort_inputs(
-        mesh, values, mask, reads, reads_valid
-    )
+    if row_valid is None:
+        values, mask, reads, reads_valid, row_valid = shard_cohort_inputs(
+            mesh, values, mask, reads, reads_valid
+        )
     n_pad = values.shape[0]
     n_rows = jnp.sum(row_valid)
 

@@ -110,3 +110,108 @@ def test_knn_col_block_non_dividing_padded(rng):
     # col_block <= k falls back to flat selection
     d2_, _ = knn_squared(jnp.asarray(z), 5, row_block=16, col_block=4)
     np.testing.assert_allclose(np.asarray(d2_), np.asarray(ref_d), rtol=1e-12)
+
+
+def test_sorted_smallest_k_matches_stable_argsort(rng):
+    from grid_tpu.ops.select import sorted_smallest_k
+
+    for n, w, k in [(8, 16, 3), (33, 100, 10), (64, 64, 64), (50, 300, 1)]:
+        d = rng.gamma(2.0, 1.0, (n, w)).astype(np.float32)
+        d[d < 0.3] = 0.25  # tie clusters
+        d[:, min(5, w - 1)] = d[:, 2]
+        vals, idx = map(np.asarray, sorted_smallest_k(jnp.asarray(d), k))
+        ref_idx = np.argsort(d, axis=1, kind="stable")[:, :k]
+        assert np.array_equal(vals, np.take_along_axis(d, ref_idx, axis=1))
+        assert np.array_equal(idx, ref_idx)
+
+    # degenerate all-equal rows: ties break by ascending column
+    d = np.full((4, 20), 7.0, np.float32)
+    _, idx = map(np.asarray, sorted_smallest_k(jnp.asarray(d), 5))
+    assert np.array_equal(idx, np.tile(np.arange(5), (4, 1)))
+
+
+def test_knn_bisect_selector_matches_host(rng):
+    z = rng.normal(size=(57, 13))
+    hd2, hidx = knn_squared_host(z, 9)
+    d2, idx = knn_squared(jnp.asarray(z), 9, row_block=16, selector="bisect")
+    np.testing.assert_allclose(np.asarray(d2), hd2, rtol=1e-6, atol=1e-6)
+    for i in range(57):
+        assert set(np.asarray(idx)[i].tolist()) == set(hidx[i].tolist())
+
+
+def test_knn_bisect_row_valid(rng):
+    z = rng.normal(size=(10, 4))
+    z_pad = np.concatenate([z, np.zeros((6, 4))])
+    valid = np.array([True] * 10 + [False] * 6)
+    d, i = knn_squared(jnp.asarray(z_pad), 5, row_valid=jnp.asarray(valid),
+                       row_block=8, selector="bisect")
+    ref_d, ref_i = knn_squared(jnp.asarray(z_pad), 5, row_valid=jnp.asarray(valid),
+                               row_block=8)
+    i, ref_i = np.asarray(i), np.asarray(ref_i)
+    for row in range(10):
+        assert set(i[row].tolist()) == set(ref_i[row].tolist())
+        assert not (set(i[row].tolist()) & set(range(10, 16)))
+
+
+def test_dipcn_from_distances_matches_gather_path(rng):
+    """Threshold-based dipCN (no gathers, no neighbor materialization) must
+    equal compute_dipcn fed the stable-sorted k-nearest lists — including
+    tie-heavy quantized data, unusable neighbors, and invalid samples."""
+    from grid_tpu.ops.dipcn import compute_dipcn
+    from grid_tpu.ops.select import dipcn_from_distances, smallest_k_mask
+
+    for trial in range(4):
+        n = int(rng.integers(20, 70))
+        r = int(rng.integers(5, 25))
+        k = int(rng.integers(2, n - 1))
+        n_nbr = int(rng.integers(1, k + 1))
+        z = rng.normal(0, 1, (n, r))
+        if trial % 2:
+            z = np.round(z * 4) / 4  # tie-heavy
+        reads = rng.integers(100, 300, n).astype(float)
+        scales = rng.uniform(0.5, 2.0, n)
+        usable = rng.random(n) > 0.3
+        sample_valid = rng.random(n) > 0.1
+        w = reads / scales
+
+        d2h, idxh = knn_squared_host(z, k)
+        dip_ref, val_ref = compute_dipcn(
+            jnp.asarray(w), jnp.asarray(sample_valid),
+            jnp.asarray(w[idxh]), jnp.asarray(usable[idxh]), n_nbr,
+        )
+
+        sq = np.sum(z**2, axis=1)
+        d2 = (sq[:, None] + sq[None, :] - 2 * z @ z.T).clip(0)
+        np.fill_diagonal(d2, np.finfo(d2.dtype).max)
+        dip, val = dipcn_from_distances(
+            jnp.asarray(d2), jnp.asarray(w), jnp.asarray(w),
+            jnp.asarray(usable), jnp.asarray(sample_valid), k, n_nbr,
+        )
+        assert np.array_equal(np.asarray(val), np.asarray(val_ref))
+        sel = np.asarray(val)
+        np.testing.assert_allclose(
+            np.asarray(dip)[sel], np.asarray(dip_ref)[sel], rtol=2e-6
+        )
+        # membership mask parity with the stable-argsort neighbor sets
+        m = np.asarray(smallest_k_mask(jnp.asarray(d2), k))
+        ref_mask = np.zeros((n, n), bool)
+        np.put_along_axis(ref_mask, idxh, True, axis=1)
+        assert np.array_equal(m, ref_mask)
+
+
+def test_dipcn_from_distances_no_usable_neighbors(rng):
+    """Rows whose entire k-set is unusable come back invalid, not NaN-y."""
+    from grid_tpu.ops.select import dipcn_from_distances
+
+    n = 12
+    z = rng.normal(0, 1, (n, 6))
+    sq = np.sum(z**2, axis=1)
+    d2 = (sq[:, None] + sq[None, :] - 2 * z @ z.T).clip(0)
+    np.fill_diagonal(d2, np.finfo(d2.dtype).max)
+    w = np.ones(n)
+    usable = np.zeros(n, bool)
+    dip, val = dipcn_from_distances(
+        jnp.asarray(d2), jnp.asarray(w), jnp.asarray(w),
+        jnp.asarray(usable), jnp.ones(n, bool), 5, 3,
+    )
+    assert not np.asarray(val).any()

@@ -1,0 +1,166 @@
+"""Shard-direct staging tests (VERDICT r1 item #2): multi-chromosome,
+irregular grids, bounded host memory, device placement, and end-to-end
+agreement with the in-memory stager + explicit-collective step."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from grid_tpu.io.staging import (
+    ShardedCohortStage,
+    bed_source,
+    stage_cohort,
+    stage_cohort_sharded,
+)
+from grid_tpu.parallel.mesh import cohort_mesh, cohort_sharding
+
+
+def _array_source(per_sample):
+    """per_sample: list of (sid, segments); returns a fresh-iterator factory."""
+
+    def factory():
+        return iter(per_sample)
+
+    return factory
+
+
+def _seg(chrom, rows):
+    s = np.array([r[0] for r in rows], np.int64)
+    e = np.array([r[1] for r in rows], np.int64)
+    d = np.array([r[2] for r in rows], np.float64)
+    return (chrom, s, e, d)
+
+
+@pytest.fixture
+def mesh8():
+    return cohort_mesh(8)
+
+
+def test_sharded_stage_multichrom_irregular(mesh8):
+    # chr2 before chr10 lexicographically ("10" < "2" as strings — the
+    # contract is sorted NAME order); irregular bin widths
+    per_sample = [
+        ("S0", [_seg("chr2", [(0, 700, 30.0), (1000, 2000, 31.0)]),
+                _seg("chr10", [(500, 1500, 29.0)])]),
+        ("S1", [_seg("chr2", [(0, 700, 32.0)]),
+                _seg("chr10", [(500, 1500, 28.0), (9999, 10007, 5.0)])]),
+        ("S2", [_seg("chr10", [(500, 1500, 30.5)])]),
+    ]
+    stage = stage_cohort_sharded(_array_source(per_sample), mesh8,
+                                 min_depth=20, max_depth=100)
+    assert isinstance(stage, ShardedCohortStage)
+    assert stage.chroms == ["chr10", "chr2"]
+    # region (chr10, 9999) mean=5 < min_depth -> dropped
+    regions = [(stage.chroms[c], s, e) for c, s, e in stage.regions.tolist()]
+    assert regions == [("chr10", 500, 1500), ("chr2", 0, 700), ("chr2", 1000, 2000)]
+    vals = np.asarray(stage.values)[: stage.n]
+    mask = np.asarray(stage.mask)[: stage.n]
+    np.testing.assert_allclose(vals[0], [29.0, 30.0, 31.0])
+    np.testing.assert_allclose(vals[1], [28.0, 32.0, 0.0])
+    assert mask[1].tolist() == [True, True, False]
+    np.testing.assert_allclose(vals[2], [30.5, 0.0, 0.0])
+    # device placement: cohort-sharded across the mesh, padded to 8 rows
+    assert stage.values.shape[0] == 8
+    assert stage.values.sharding == cohort_sharding(mesh8, 2)
+    assert np.asarray(stage.row_valid).tolist() == [True] * 3 + [False] * 5
+
+
+def test_sharded_stage_duplicate_lines_last_wins(mesh8):
+    per_sample = [
+        ("A", [_seg("chr1", [(0, 1000, 10.0), (0, 1000, 50.0)])]),
+        ("B", [_seg("chr1", [(0, 1000, 30.0)])]),
+    ]
+    stage = stage_cohort_sharded(_array_source(per_sample), mesh8, 20, 100)
+    vals = np.asarray(stage.values)
+    # sample A's duplicate start collapses to the LAST depth (dict semantics)
+    assert vals[0, 0] == 50.0 and vals[1, 0] == 30.0
+
+
+def test_sharded_stage_matches_inmemory_on_files(tmp_path, mesh8):
+    """Single-chrom regular cohort: the shard-direct stager must agree with
+    the in-memory stager column-for-column."""
+    from grid_tpu.synth import make_synthetic_cohort
+
+    cohort = make_synthetic_cohort(tmp_path, n_samples=11, seed=7, missing_frac=0.05)
+    ref = stage_cohort(cohort["work_dir"], cohort["ids"], "chr6", None, None,
+                       {}, 10, 100)
+    stage = stage_cohort_sharded(
+        bed_source(cohort["work_dir"], cohort["ids"]), mesh8, 10, 100
+    )
+    assert stage.sample_ids == ref.sample_ids
+    np.testing.assert_array_equal(stage.regions[:, 1:], ref.regions)
+    np.testing.assert_allclose(
+        np.asarray(stage.values)[: stage.n], ref.values, rtol=1e-6
+    )
+    np.testing.assert_array_equal(np.asarray(stage.mask)[: stage.n], ref.mask)
+
+
+def test_sharded_step_from_prestaged(tmp_path, mesh8):
+    """sharded_cohort_step(row_valid=staged) == sharded_cohort_step(host)."""
+    import jax.numpy as jnp
+
+    from grid_tpu.io.hap_neighbors import pad_hap_neighbors
+    from grid_tpu.models.cohort import CohortParams
+    from grid_tpu.parallel.mesh import shard_cohort_inputs
+    from grid_tpu.parallel.pcohort import sharded_cohort_step
+    from grid_tpu.synth import make_synthetic_cohort
+
+    cohort = make_synthetic_cohort(tmp_path, n_samples=13, seed=3)
+    stage = stage_cohort_sharded(
+        bed_source(cohort["work_dir"], cohort["ids"]), mesh8, 10, 100
+    )
+    n = stage.n
+    rng = np.random.default_rng(0)
+    reads = rng.integers(500, 900, n).astype(np.float64)
+    rv = np.ones(n, bool)
+    hi, hw, hv = pad_hap_neighbors([[] for _ in range(2 * n)], 1)
+    params = CohortParams(num_neighbors=5, n_nbr=3, n_iters=0)
+
+    # host path (pads + shards internally)
+    host_vals = np.asarray(stage.values)[:n]
+    host_mask = np.asarray(stage.mask)[:n]
+    out_host = sharded_cohort_step(
+        mesh8, host_vals, host_mask, reads, rv,
+        jnp.asarray(hi), jnp.asarray(hw), jnp.asarray(hv), params,
+    )
+
+    # prestaged path: reads padded+sharded by the caller
+    n_pad = stage.values.shape[0]
+    s1 = cohort_sharding(mesh8, 1)
+    reads_p = jax.device_put(np.pad(reads, (0, n_pad - n)), s1)
+    rv_p = jax.device_put(np.pad(rv, (0, n_pad - n)), s1)
+    out_staged = sharded_cohort_step(
+        mesh8, stage.values, stage.mask, reads_p, rv_p,
+        jnp.asarray(hi), jnp.asarray(hw), jnp.asarray(hv), params,
+        row_valid=stage.row_valid,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_staged.dipcn)[:n], np.asarray(out_host.dipcn)[:n],
+        rtol=1e-6, equal_nan=True,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out_staged.nbr_idx)[:n], np.asarray(out_host.nbr_idx)[:n]
+    )
+
+
+def test_sharded_stage_bounded_host_buffers(mesh8):
+    """The per-shard fill buffer is rows_per_shard x R — the global matrix
+    is never a single host allocation. (Proxy assertion: every addressable
+    shard holds exactly [n_pad/8, R].)"""
+    n, r = 64, 128
+
+    def factory():
+        rng = np.random.default_rng(1)  # reseeded: both passes see same data
+
+        def it():
+            for i in range(n):
+                s = np.arange(r, dtype=np.int64) * 1000
+                yield f"S{i:03d}", [("chr1", s, s + 1000,
+                                     rng.uniform(25, 35, r))]
+        return it()
+
+    stage = stage_cohort_sharded(factory, mesh8, 10, 100)
+    assert stage.values.shape == (64, r)
+    for shard in stage.values.addressable_shards:
+        assert shard.data.shape == (8, r)
