@@ -193,11 +193,15 @@ def synth(out, n_samples, seed, missing_frac):
 @click.option("-e", "--end", required=True, type=int)
 @click.option("-o", "--output", required=True, type=click.Path())
 @click.option("-R", "--reference", type=click.Path(exists=True), help="FASTA (CRAM only)")
-def subset(aln, chrom, start, end, output, reference):
+@click.option("--embed-reference", is_flag=True,
+              help="CRAM output: store each slice's reference window in the "
+                   "file so it decodes without the FASTA")
+def subset(aln, chrom, start, end, output, reference, embed_reference):
     """Extract the reads of a region into a new BAM/CRAM."""
     from grid_tpu.tools import subset_alignment
 
-    n = subset_alignment(aln, chrom, start, end, output, reference)
+    n = subset_alignment(aln, chrom, start, end, output, reference,
+                         embed_reference=embed_reference)
     log(_console(), f"Wrote {n} records → {output}", style="success")
 
 

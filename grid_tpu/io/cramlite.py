@@ -24,9 +24,9 @@ path at speed; this module is the debuggable fallback and the writer.
 A pysam installation remains a supported backend but is no longer
 required for CRAM cohorts.
 
-Limitations (documented, checked): no embedded-reference slices on the
-write side (read side uses them when present), no lossy quality modes,
-reference MD5s are written but not verified.
+Limitations (documented, checked): no lossy quality modes; reference MD5s
+are written but not verified. Embedded-reference slices are supported on
+BOTH sides (read always; write via ``write_cram(embed_reference=True)``).
 """
 
 from __future__ import annotations
@@ -1195,8 +1195,11 @@ def _substitution_features(seq: str, ref: bytes):
     return feats
 
 
+_EMBEDDED_REF_ID = 20  # external content id for embedded-reference blocks
+
+
 def _encode_slice(records: list[CramRecord], record_counter: int, method: int,
-                  ref_fetch=None):
+                  ref_fetch=None, embed_ref: bool = False):
     """-> (container_body_bytes, slice_meta) for one slice-per-container."""
     ids = _SERIES_IDS
     bufs = {key: bytearray() for key in ids}
@@ -1209,6 +1212,22 @@ def _encode_slice(records: list[CramRecord], record_counter: int, method: int,
         s_span = max(r.pos + max(r.ref_len or r.rl, 1) for r in mapped) - s_start + 1
     else:
         s_start, s_span = 0, 0
+
+    # Embedded-reference slice (spec §8.5): store the slice's reference
+    # window as an external block and encode reads against it — the file
+    # then decodes without any FASTA at hand (the read side already
+    # consumes these, _decode_body). Requires a single-ref mapped slice
+    # and a complete reference window.
+    embedded_seq = None
+    if embed_ref and ref_fetch is not None and not multi_ref and s_span > 0 \
+            and slice_ref >= 0:
+        window = ref_fetch(slice_ref, s_start - 1, s_start - 1 + s_span)
+        if window and len(window) == s_span:
+            embedded_seq = bytes(window)
+
+            def ref_fetch(rid, s, e, _w=embedded_seq, _r0=s_start - 1):  # noqa: ANN001
+                return _w[s - _r0:e - _r0]
+
     prev_ap = s_start
     n_bases = 0
 
@@ -1272,28 +1291,36 @@ def _encode_slice(records: list[CramRecord], record_counter: int, method: int,
     comp = _writer_compression_header(multi_ref)
     used = [(key, bytes(b)) for key, b in bufs.items() if b]
     content_ids = [ids[key] for key, _ in used]
+    if embedded_seq is not None:
+        content_ids = content_ids + [_EMBEDDED_REF_ID]
 
     body = bytearray()
     write_block(body, CT_COMPRESSION_HEADER, 0, comp.to_bytes(), method=GZIP)
     landmark = len(body)
+    n_data_blocks = 1 + len(used) + (1 if embedded_seq is not None else 0)
     sh = SliceHeader(
         ref_id=slice_ref, start=s_start, span=s_span, n_records=len(records),
-        record_counter=record_counter, n_blocks=1 + len(used),
+        record_counter=record_counter, n_blocks=n_data_blocks,
         content_ids=content_ids,
+        embedded_ref_id=_EMBEDDED_REF_ID if embedded_seq is not None else -1,
     )
     write_block(body, CT_SLICE_HEADER, 0, sh.to_bytes(), method=RAW)
     write_block(body, CT_CORE, 0, b"", method=RAW)
     for key, data in used:
         write_block(body, CT_EXTERNAL, ids[key], data, method=method)
+    if embedded_seq is not None:
+        write_block(body, CT_EXTERNAL, _EMBEDDED_REF_ID, embedded_seq, method=method)
+    # container block count: compression header + slice header + data blocks
     meta = dict(ref_id=slice_ref, start=s_start, span=s_span, landmark=landmark,
                 n_records=len(records), n_bases=n_bases,
-                n_blocks=2 + len(used) + 1)
+                n_blocks=2 + n_data_blocks)
     return bytes(body), meta
 
 
 def write_cram(path, references, records, slice_records: int = 10_000,
                method: int = GZIP, build_index: bool = True,
-               sam_header: str | None = None, reference=None):
+               sam_header: str | None = None, reference=None,
+               embed_reference: bool = False):
     """Write a CRAM 3.0 file (one slice per container, detached mates).
 
     Args:
@@ -1304,6 +1331,10 @@ def write_cram(path, references, records, slice_records: int = 10_000,
       reference: optional FASTA path — mapped reads are then stored as
         substitution features against it (real CRAM reference-based
         compression) instead of verbatim base stretches.
+      embed_reference: with ``reference``, additionally store each slice's
+        reference window as an embedded block (spec §8.5) — the output then
+        decodes WITHOUT the FASTA (the portable-archive mode; costs the
+        compressed window per slice).
     """
     path = Path(path)
     ref_fetch = None
@@ -1341,7 +1372,8 @@ def write_cram(path, references, records, slice_records: int = 10_000,
         counter = 0
         for lo in range(0, len(recs), slice_records):
             chunk = recs[lo : lo + slice_records]
-            body, meta = _encode_slice(chunk, counter, method, ref_fetch)
+            body, meta = _encode_slice(chunk, counter, method, ref_fetch,
+                                       embed_ref=embed_reference)
             hdr = write_container_header(
                 meta["ref_id"], meta["start"], meta["span"], meta["n_records"],
                 counter, meta["n_bases"], meta["n_blocks"], [meta["landmark"]],

@@ -54,10 +54,16 @@ def batch_ensure_index(directory, reference_genome=None, threads: int = 1, conso
     return results
 
 
-def subset_alignment(aln_path, chrom, start, end, out_path, reference_genome=None) -> int:
+def subset_alignment(aln_path, chrom, start, end, out_path, reference_genome=None,
+                     embed_reference: bool = False) -> int:
     """Extract the reads overlapping a region into a new file
-    (covers utils/subset_cram.py). BAM uses the native subsetter; CRAM
-    requires pysam. Returns the number of records written."""
+    (covers utils/subset_cram.py). BAM uses the native subsetter; CRAM uses
+    cramlite (or pysam when installed). Returns the number of records
+    written.
+
+    With ``embed_reference=True`` (CRAM output via cramlite), each slice
+    carries its reference window — the subset decodes anywhere without the
+    FASTA, the natural mode for shipping locus cutouts."""
     aln_path = str(aln_path)
     if aln_path.endswith(".bam"):
         try:
@@ -69,13 +75,17 @@ def subset_alignment(aln_path, chrom, start, end, out_path, reference_genome=Non
     try:
         import pysam  # type: ignore
     except ImportError:
-        if aln_path.endswith(".cram"):
-            from grid_tpu.io import cramlite
+        pysam = None
+    if aln_path.endswith(".cram") and (pysam is None or embed_reference):
+        from grid_tpu.io import cramlite
 
-            with cramlite.CramReader(aln_path, reference=reference_genome) as rd:
-                recs = list(rd.iter_records(chrom, start, end))
-                cramlite.write_cram(out_path, rd.references, recs)
-            return len(recs)
+        with cramlite.CramReader(aln_path, reference=reference_genome) as rd:
+            recs = list(rd.iter_records(chrom, start, end))
+            cramlite.write_cram(out_path, rd.references, recs,
+                                reference=reference_genome,
+                                embed_reference=embed_reference)
+        return len(recs)
+    if pysam is None:
         raise RuntimeError(
             "Subsetting needs the native library (BAM), cramlite (CRAM), or pysam"
         ) from None

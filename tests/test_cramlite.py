@@ -298,3 +298,59 @@ class TestPipelineHelpers:
             width = int(be) - int(bs)
             assert chrom == "chr1"
             assert float(depth) == round(want_overlap / width, 2)
+
+
+class TestEmbeddedReference:
+    def test_embedded_reference_round_trip_without_fasta(self, tmp_path):
+        """embed_reference=True writes each slice's reference window into
+        the slice (spec §8.5); decoding then needs NO FASTA and recovers
+        exact sequences, unlike plain reference-based files."""
+        rng = np.random.default_rng(6)
+        fa, seqs = TestReferenceBased._fasta(None, tmp_path, rng)
+        recs = []
+        for i in range(300):
+            pos = int(rng.integers(0, 49_000))
+            seq = list(seqs["chr1"][pos : pos + 100])
+            for _ in range(int(rng.integers(0, 4))):
+                j = int(rng.integers(0, 100))
+                seq[j] = rng.choice([b for b in "ACGT" if b != seq[j]])
+            recs.append(cl.CramRecord(
+                name=f"s{i}", flag=0, ref_id=0, pos=pos, mapq=60, rl=100,
+                seq="".join(seq), qual=b"I" * 100, mate_ref_id=0,
+                mate_pos=pos, tlen=0,
+            ))
+        recs.sort(key=lambda r: r.pos)
+        path = tmp_path / "emb.cram"
+        cl.write_cram(path, REFS, recs, reference=fa, embed_reference=True,
+                      slice_records=64)
+        # NO reference passed to the reader:
+        with cl.CramReader(path) as rd:
+            got = list(rd.iter_records())
+        assert len(got) == len(recs)
+        assert all(a.seq == b.seq for a, b in zip(recs, got)), \
+            "embedded reference must reconstruct exact sequences"
+        # region query through the CRAI also works FASTA-free
+        with cl.CramReader(path) as rd:
+            window = list(rd.iter_records("chr1", 10_000, 20_000))
+        assert window and all(r.pos < 20_000 and r.pos + 100 > 10_000 for r in window)
+
+    def test_embedded_reference_counts_native(self, tmp_path):
+        """The C++ reader still counts records in embedded-ref files (the
+        extra external block must not confuse block walking)."""
+        pytest.importorskip("ctypes")
+        rng = np.random.default_rng(7)
+        fa, seqs = TestReferenceBased._fasta(None, tmp_path, rng)
+        recs = [cl.CramRecord(
+            name=f"s{i}", flag=83 if i % 2 == 0 else 147, ref_id=0,
+            pos=1000 + 10 * i, mapq=60, rl=100,
+            seq=seqs["chr1"][1000 + 10 * i : 1100 + 10 * i], qual=b"I" * 100,
+            mate_ref_id=0, mate_pos=1000 + 10 * i, tlen=150,
+        ) for i in range(100)]
+        path = tmp_path / "embn.cram"
+        cl.write_cram(path, REFS, recs, reference=fa, embed_reference=True)
+        try:
+            from grid_tpu.native import cram as ncram
+            n = ncram.count_reads_region(str(path), "chr1", 0, 10**9, {83}, 1)
+        except Exception:
+            pytest.skip("native library unavailable")
+        assert n == 50  # only the 83-flagged half passes the filter
