@@ -59,6 +59,10 @@ STEP_SCHEMA = [
     {"path": ("mosdepth", "bin_size"), "gate": ("mosdepth",), "default": 1000},
     {"path": ("mosdepth", "mode"), "gate": ("mosdepth",), "default": "fast"},
     {"path": ("mosdepth", "work_dir"), "gate": ("mosdepth",), "default": "output_dir/mosdepth_workdir"},
+    # used in the per-sample bed.gz prefix ({sample}_{region_name}); read by
+    # both the reference (grid/utils/mosdepth.py:32) and grid_tpu steps but
+    # absent from the reference schema — surfaced here (docs drift check)
+    {"path": ("mosdepth", "region_name"), "gate": ("mosdepth",), "default": "region"},
     {"path": ("mosdepth", "remove_intermediate"), "gate": ("mosdepth",), "default": True},
     # mosdepth.normalize
     {"path": ("mosdepth", "normalize", "min_depth"), "gate": ("mosdepth", "normalize"), "default": 20},
