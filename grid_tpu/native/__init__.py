@@ -99,6 +99,17 @@ def _configure(l: ctypes.CDLL) -> None:
     ]
     l.grid_cram_dump.restype = c.c_int64
     l.grid_cram_dump.argtypes = [c.c_char_p, c.POINTER(c.c_int64), c.c_int64]
+    l.grid_cram_write.restype = c.c_int
+    l.grid_cram_write.argtypes = [
+        c.c_char_p, c.POINTER(c.c_uint8), c.c_int64, c.c_int64,
+        c.POINTER(c.c_int32), c.POINTER(c.c_int32), c.POINTER(c.c_int64),
+        c.POINTER(c.c_int32), c.POINTER(c.c_int32), c.POINTER(c.c_int32),
+        c.POINTER(c.c_int64), c.POINTER(c.c_int32),
+        c.POINTER(c.c_uint8), c.POINTER(c.c_int64),
+        c.POINTER(c.c_uint8), c.POINTER(c.c_int64),
+        c.POINTER(c.c_uint8), c.POINTER(c.c_int64),
+        c.c_int32, c.c_char_p,
+    ]
     l.grid_ibs_neighbors.restype = c.c_int
     l.grid_ibs_neighbors.argtypes = [
         c.POINTER(c.c_uint8), c.c_int32, c.c_int32, c.POINTER(c.c_double),

@@ -36,6 +36,71 @@ def binned_depth(path, out_bed_gz, bin_size=1000, exclude_flags=1796, min_mapq=0
         raise IOError(f"grid_cram_binned_depth({path}) failed with code {rc}")
 
 
+def write_cram(path, references, records, slice_records=10_000,
+               build_index=True, sam_header=None):
+    """Native CRAM 3.0 writer (C++ twin of cramlite.write_cram's verbatim
+    mode): packs the records into column arrays and makes ONE ctypes call.
+    No reference-based compression (use the Python writer with a FASTA for
+    substitution features / embedded references).
+
+    Args:
+        references: [(name, length)].
+        records: iterable of cramlite.CramRecord (or anything with the same
+            fields).
+    """
+    recs = list(records)
+    n = len(recs)
+    if sam_header is None:
+        sam_header = "@HD\tVN:1.6\tSO:coordinate\n" + "".join(
+            f"@SQ\tSN:{name}\tLN:{length}\n" for name, length in references
+        )
+    hdr = sam_header.encode()
+
+    def col(getter, dtype):
+        return np.array([getter(r) for r in recs], dtype=dtype)
+
+    flag = col(lambda r: r.flag, np.int32)
+    ref_id = col(lambda r: r.ref_id, np.int32)
+    pos = col(lambda r: r.pos, np.int64)
+    mapq = col(lambda r: r.mapq, np.int32)
+    rl = col(lambda r: r.rl or (len(r.seq) if r.seq else 0), np.int32)
+    mate_ref = col(lambda r: r.mate_ref_id, np.int32)
+    mate_pos = col(lambda r: r.mate_pos, np.int64)
+    tlen = col(lambda r: r.tlen, np.int32)
+
+    def packed(parts):
+        off = np.zeros(n + 1, np.int64)
+        np.cumsum([len(p) for p in parts], out=off[1:])
+        return np.frombuffer(b"".join(parts), dtype=np.uint8).copy(), off
+
+    names, name_off = packed([r.name.encode() for r in recs])
+    seqs, seq_off = packed([(r.seq or "").encode() for r in recs])
+    quals, qual_off = packed([bytes(r.qual) if r.qual is not None else b""
+                              for r in recs])
+
+    def p8(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+    def p32(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+    def p64(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+    hdr_arr = np.frombuffer(hdr, dtype=np.uint8).copy()
+    crai = (str(path) + ".crai").encode() if build_index else b""
+    rc = lib().grid_cram_write(
+        str(path).encode(), p8(hdr_arr), len(hdr), n,
+        p32(flag), p32(ref_id), p64(pos), p32(mapq), p32(rl),
+        p32(mate_ref), p64(mate_pos), p32(tlen),
+        p8(names), p64(name_off), p8(seqs), p64(seq_off),
+        p8(quals), p64(qual_off), int(slice_records), crai,
+    )
+    if rc != 0:
+        raise IOError(f"grid_cram_write({path}) failed with code {rc}")
+    return path
+
+
 def dump_records(path, cap=1_000_000):
     """All records as an int64 array [n, 6]:
     (ref_id, pos, flag, mapq, mate_ref, ref_len) — twin-test surface."""

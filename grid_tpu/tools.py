@@ -81,6 +81,14 @@ def subset_alignment(aln_path, chrom, start, end, out_path, reference_genome=Non
 
         with cramlite.CramReader(aln_path, reference=reference_genome) as rd:
             recs = list(rd.iter_records(chrom, start, end))
+            if not embed_reference and reference_genome is None:
+                try:  # verbatim mode: the C++ writer at native speed
+                    from grid_tpu.native import cram as native_cram
+
+                    native_cram.write_cram(out_path, rd.references, recs)
+                    return len(recs)
+                except Exception:
+                    pass  # no toolchain: python writer below
             cramlite.write_cram(out_path, rd.references, recs,
                                 reference=reference_genome,
                                 embed_reference=embed_reference)

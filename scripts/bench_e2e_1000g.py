@@ -47,11 +47,19 @@ def main():
     panel = make_synthetic_phased_panel(out / "panel", n_samples=args.n,
                                         n_sites=400, seed=9, hap_groups=groups)
     t_fab = time.perf_counter() - t0
+    # fresh pipeline outputs: fabrication leaves a counts file + state from
+    # any previous run in results/
+    for stale in (out / "results").glob("*"):
+        if stale.name != "truth_hap_cn.tsv" and not stale.name.startswith("read_counts"):
+            stale.unlink()
     print(f"fabricated {args.n}-sample BAM cohort + phased panel in {t_fab:.1f}s",
           flush=True)
 
     cfg = yaml.safe_load(open(cohort["config_file"]))
     cfg["threads"] = args.threads
+    # BASELINE parameters (the synth default k=N-1 suits tiny cohorts only)
+    cfg["mosdepth"]["neighbors"]["num_neighbors"] = min(500, args.n - 1)
+    cfg["compute_diploid_genotypes"]["n_nbr"] = min(300, args.n - 1)
     cfg["compute_ibs"] = {
         "run": True,
         "vcf": str(panel["vcf"]),

@@ -107,3 +107,54 @@ def test_binned_depth_matches_python(tmp_path, native_cram):
     with gzip.open(nat_out, "rt") as f:
         nat_lines = f.read()
     assert py_lines == nat_lines
+
+
+class TestNativeWriter:
+    """C++ CRAM writer round-trips (VERDICT r1 item #7)."""
+
+    def _recs(self, rng, n=400):
+        recs = make_records(rng, n, n_refs=2)
+        for r in recs:
+            if r.flag & 0x4:
+                r.mapq = 0  # MQ is not stored for unmapped (both writers)
+        return recs
+
+    def test_native_write_python_read_exact(self, tmp_path, native_cram):
+        rng = np.random.default_rng(11)
+        recs = self._recs(rng)
+        path = tmp_path / "w.cram"
+        native_cram.write_cram(path, REFS, recs, slice_records=128)
+        with cl.CramReader(path) as rd:
+            got = list(rd.iter_records())
+        assert len(got) == len(recs)
+        for a, b in zip(recs, got):
+            assert (a.name, a.flag, a.ref_id, a.pos, a.mapq) == \
+                   (b.name, b.flag, b.ref_id, b.pos, b.mapq)
+            assert a.seq == b.seq
+            assert bytes(a.qual or b"") == bytes(b.qual or b"")
+
+    def test_native_write_native_read_twin(self, tmp_path, native_cram):
+        """Native-written and python-written files decode to the same
+        records through the NATIVE reader."""
+        rng = np.random.default_rng(12)
+        recs = self._recs(rng)
+        p_nat = tmp_path / "n.cram"
+        p_py = tmp_path / "p.cram"
+        native_cram.write_cram(p_nat, REFS, recs, slice_records=100)
+        cl.write_cram(p_py, REFS, recs, slice_records=100)
+        assert np.array_equal(native_cram.dump_records(p_nat),
+                              native_cram.dump_records(p_py))
+
+    def test_native_crai_region_query(self, tmp_path, native_cram):
+        rng = np.random.default_rng(13)
+        recs = self._recs(rng)
+        path = tmp_path / "q.cram"
+        native_cram.write_cram(path, REFS, recs, slice_records=64)
+        assert (tmp_path / "q.cram.crai").exists()
+        with cl.CramReader(path) as rd:
+            window = list(rd.iter_records("chr1", 3000, 9000))
+        with cl.CramReader(path) as rd:
+            full = [r for r in rd.iter_records()
+                    if r.ref_id == 0 and r.pos < 9000
+                    and r.pos + max(r.ref_len, 1) > 3000]
+        assert {(r.name, r.pos) for r in window} == {(r.name, r.pos) for r in full}
