@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import zlib
 from pathlib import Path
 
 from grid_tpu.config import apply_defaults, error_check_config, load_config
@@ -29,10 +30,24 @@ from grid_tpu.utils.timing import StepTimer, step_timer
 
 
 def _file_stat(path) -> tuple:
-    """(mtime_ns, size) of a file, or ("missing",) — cheap content proxy."""
+    """(size, crc32(head), crc32(tail)) of a file, or ("missing",).
+
+    Content-based (64 KiB head + tail), NOT mtime-based: a regenerated but
+    identical upstream file stays valid, and an rsync/git-checkout that
+    preserves mtimes but changes bytes invalidates (the round-1 proxy used
+    mtime+size and had both failure modes)."""
     try:
-        st = Path(path).stat()
-        return (st.st_mtime_ns, st.st_size)
+        p = Path(path)
+        size = p.stat().st_size
+        chunk = 65536
+        with open(p, "rb") as f:
+            head = zlib.crc32(f.read(chunk))
+            if size > chunk:
+                f.seek(max(size - chunk, 0))
+                tail = zlib.crc32(f.read(chunk))
+            else:
+                tail = head
+        return (size, head, tail)
     except OSError:
         return ("missing",)
 

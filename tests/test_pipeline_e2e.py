@@ -216,3 +216,39 @@ def test_haploid_bootstrap_output(cohort, tmp_path):
     for line in lines[1:]:
         sds = [float(x) for x in line.split("\t")[2::2]]
         assert all(s >= 0 or np.isnan(s) for s in sds)
+
+
+def test_resume_fingerprint_is_content_based(cohort, tmp_path):
+    """A touched-but-identical input must NOT invalidate the cache (mtime is
+    ignored); a changed-content same-size input MUST (the round-1 proxy got
+    both wrong)."""
+    import copy
+    import os
+
+    cfg = copy.deepcopy(cohort["config"])
+    out = tmp_path / "resume3"
+    cfg["output_dir"] = str(out)
+    cfg["resume"] = True
+    out.mkdir()
+    counts = out / "read_counts.tsv"
+    counts.write_bytes(cohort["counts_file"].read_bytes())
+    t1 = run_wgs_pipeline(console=None, config=cfg)
+    assert "compute_diploid_genotypes" in t1
+
+    # regenerate the identical counts file with a NEW mtime: still skipped
+    data = counts.read_bytes()
+    counts.write_bytes(data)
+    os.utime(counts, (1, 1))
+    t2 = run_wgs_pipeline(console=None, config=cfg)
+    assert "compute_diploid_genotypes" not in t2, \
+        "identical regenerated input must not invalidate the resume cache"
+
+    # flip one count digit (same size), preserve the mtime: must re-run
+    lines = data.decode().splitlines()
+    sid, val = lines[1].split("\t")
+    lines[1] = f"{sid}\t{int(val) + 1}"
+    counts.write_text("\n".join(lines) + "\n")
+    os.utime(counts, (1, 1))
+    t3 = run_wgs_pipeline(console=None, config=cfg)
+    assert "compute_diploid_genotypes" in t3, \
+        "changed-content input with preserved mtime silently skipped"
