@@ -1075,17 +1075,28 @@ int grid_cram_binned_depth(const char* path, const char* out_path,
       });
   if (rc != 0) return rc;
 
-  gzFile out = gzopen(out_path, "wb");
+  // buffered, level-1 gzip (see grid_bam_binned_depth)
+  gzFile out = gzopen(out_path, "wb1");
   if (!out) return -3;
+  std::string chunk;
+  chunk.reserve(1 << 20);
+  char line[192];
   for (size_t i = 0; i < cf.refs.size(); ++i) {
     for (size_t b = 0; b < overlap[i].size(); ++b) {
       int64_t bs = (int64_t)b * bin_size;
       int64_t be = std::min<int64_t>(bs + bin_size, cf.refs[i].second);
       double depth = (double)overlap[i][b] / (double)(be - bs);
-      gzprintf(out, "%s\t%lld\t%lld\t%.2f\n", cf.refs[i].first.c_str(),
-               (long long)bs, (long long)be, depth);
+      int n = snprintf(line, sizeof(line), "%s\t%lld\t%lld\t%.2f\n",
+                       cf.refs[i].first.c_str(), (long long)bs, (long long)be,
+                       depth);
+      chunk.append(line, (size_t)n);
+      if (chunk.size() > (1 << 20) - 256) {
+        gzwrite(out, chunk.data(), (unsigned)chunk.size());
+        chunk.clear();
+      }
     }
   }
+  if (!chunk.empty()) gzwrite(out, chunk.data(), (unsigned)chunk.size());
   gzclose(out);
   return 0;
 } catch (const std::exception&) {
