@@ -63,6 +63,11 @@ STEP_SCHEMA = [
     # both the reference (grid/utils/mosdepth.py:32) and grid_tpu steps but
     # absent from the reference schema — surfaced here (docs drift check)
     {"path": ("mosdepth", "region_name"), "gate": ("mosdepth",), "default": "region"},
+    # built-in binners only: omit zero-depth bins from the bed.gz. Every
+    # downstream reader filters depth > 0 (ref normalize_mosdepth.py:262-285),
+    # so results are identical; for locus-subset cohorts the zero bins are
+    # ~99% of the file. Ignored when the mosdepth binary runs.
+    {"path": ("mosdepth", "sparse_bed"), "gate": ("mosdepth",), "default": False},
     {"path": ("mosdepth", "remove_intermediate"), "gate": ("mosdepth",), "default": True},
     # mosdepth.normalize
     {"path": ("mosdepth", "normalize", "min_depth"), "gate": ("mosdepth", "normalize"), "default": 20},

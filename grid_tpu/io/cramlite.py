@@ -1762,10 +1762,10 @@ def fetch_reads_region(path, ref_fasta, chrom, start, end,
 
 def binned_depth(path, out_bed_gz, bin_size: int = 1000,
                  exclude_flags: int = 1796, min_mapq: int = 0,
-                 ref_fasta=None) -> None:
+                 ref_fasta=None, skip_zero: bool = False) -> None:
     """mosdepth-fast-mode binned depth -> regions.bed.gz (same math as
     native/src/bam.cpp:grid_bam_binned_depth: per-bin overlap sum / bin
-    width)."""
+    width). ``skip_zero`` omits zero-depth bins."""
     with CramReader(path, reference=None) as rd:
         refs = rd.references
         overlap = [
@@ -1791,6 +1791,8 @@ def binned_depth(path, out_bed_gz, bin_size: int = 1000,
     with gzip.open(out_bed_gz, "wt") as out:
         for (name, length), bins in zip(refs, overlap):
             for b, val in enumerate(bins):
+                if skip_zero and val == 0:
+                    continue
                 bs = b * bin_size
                 be = min(bs + bin_size, length)
                 out.write(f"{name}\t{bs}\t{be}\t{val / (be - bs):.2f}\n")

@@ -81,7 +81,9 @@ def _configure(l: ctypes.CDLL) -> None:
         c.POINTER(c.c_int32), c.c_int32, c.c_int32,
     ]
     l.grid_bam_binned_depth.restype = c.c_int
-    l.grid_bam_binned_depth.argtypes = [c.c_char_p, c.c_char_p, c.c_int32, c.c_int32, c.c_int32]
+    l.grid_bam_binned_depth.argtypes = [
+        c.c_char_p, c.c_char_p, c.c_int32, c.c_int32, c.c_int32, c.c_int32
+    ]
     l.grid_bam_build_bai.restype = c.c_int
     l.grid_bam_build_bai.argtypes = [c.c_char_p, c.c_char_p]
     l.grid_bam_refs.restype = c.c_int32
@@ -95,7 +97,7 @@ def _configure(l: ctypes.CDLL) -> None:
     ]
     l.grid_cram_binned_depth.restype = c.c_int
     l.grid_cram_binned_depth.argtypes = [
-        c.c_char_p, c.c_char_p, c.c_int32, c.c_int32, c.c_int32
+        c.c_char_p, c.c_char_p, c.c_int32, c.c_int32, c.c_int32, c.c_int32
     ]
     l.grid_cram_dump.restype = c.c_int64
     l.grid_cram_dump.argtypes = [c.c_char_p, c.POINTER(c.c_int64), c.c_int64]

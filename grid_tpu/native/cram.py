@@ -26,11 +26,13 @@ def count_reads_region(path, chrom, start, end, flags, min_mapq=1) -> int:
     return int(rc)
 
 
-def binned_depth(path, out_bed_gz, bin_size=1000, exclude_flags=1796, min_mapq=0) -> None:
-    """mosdepth-fast-mode binned depth -> regions.bed.gz."""
+def binned_depth(path, out_bed_gz, bin_size=1000, exclude_flags=1796,
+                 min_mapq=0, skip_zero=False) -> None:
+    """mosdepth-fast-mode binned depth -> regions.bed.gz (``skip_zero``
+    omits zero-depth bins; downstream readers drop them anyway)."""
     rc = lib().grid_cram_binned_depth(
         str(path).encode(), str(out_bed_gz).encode(), int(bin_size),
-        int(exclude_flags), int(min_mapq),
+        int(exclude_flags), int(min_mapq), int(bool(skip_zero)),
     )
     if rc != 0:
         raise IOError(f"grid_cram_binned_depth({path}) failed with code {rc}")

@@ -323,7 +323,8 @@ int64_t grid_bam_count(const char* path, const char* chrom, int64_t start, int64
 // Genome-binned depth (mosdepth --fast-mode semantics). Writes
 // "chrom\tstart\tend\tdepth" gzip lines for every bin of every reference.
 int grid_bam_binned_depth(const char* path, const char* out_path, int32_t bin_size,
-                          int32_t exclude_flags, int32_t min_mapq) {
+                          int32_t exclude_flags, int32_t min_mapq,
+                          int32_t skip_zero) {
   BgzfReader r;
   if (!r.open(path)) return -1;
   BamHeader hdr;
@@ -360,6 +361,9 @@ int grid_bam_binned_depth(const char* path, const char* out_path, int32_t bin_si
   char line[192];
   for (size_t i = 0; i < hdr.refs.size(); ++i) {
     for (size_t b = 0; b < overlap[i].size(); ++b) {
+      if (skip_zero && overlap[i][b] == 0) continue;  // zero-depth bins are
+      // dropped by every downstream reader (depth > 0 filter); sparse mode
+      // omits them for locus-subset cohorts where they dominate the file
       int64_t bs = (int64_t)b * bin_size;
       int64_t be = std::min<int64_t>(bs + bin_size, hdr.refs[i].len);
       double depth = (double)overlap[i][b] / (double)(be - bs);

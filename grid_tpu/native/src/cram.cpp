@@ -1044,7 +1044,7 @@ int64_t grid_cram_count(const char* path, const char* chrom, int64_t start,
 // (same overlap math as grid_bam_binned_depth).
 int grid_cram_binned_depth(const char* path, const char* out_path,
                            int32_t bin_size, int32_t exclude_flags,
-                           int32_t min_mapq) try {
+                           int32_t min_mapq, int32_t skip_zero) try {
   CramFile cf;
   if (!cf.open(path)) return -1;
   std::vector<std::vector<int64_t>> overlap(cf.refs.size());
@@ -1083,6 +1083,7 @@ int grid_cram_binned_depth(const char* path, const char* out_path,
   char line[192];
   for (size_t i = 0; i < cf.refs.size(); ++i) {
     for (size_t b = 0; b < overlap[i].size(); ++b) {
+      if (skip_zero && overlap[i][b] == 0) continue;  // see bam.cpp note
       int64_t bs = (int64_t)b * bin_size;
       int64_t be = std::min<int64_t>(bs + bin_size, cf.refs[i].second);
       double depth = (double)overlap[i][b] / (double)(be - bs);

@@ -12,6 +12,11 @@ from grid_tpu.ops.knn import (
     knn_squared,
 )
 from grid_tpu.ops.dipcn import compute_dipcn
+from grid_tpu.ops.select import (
+    dipcn_from_distances,
+    smallest_k_mask,
+    sorted_smallest_k,
+)
 from grid_tpu.ops.phasing import (
     PhasingResult,
     phase_haplotypes,
@@ -32,6 +37,9 @@ __all__ = [
     "prepare_z",
     "knn_squared",
     "compute_dipcn",
+    "dipcn_from_distances",
+    "smallest_k_mask",
+    "sorted_smallest_k",
     "PhasingResult",
     "phase_haplotypes",
     "phase_gauss_seidel_host",

@@ -80,7 +80,8 @@ def compute_region_coverage(regions_file, chrom, start, end) -> int:
 
 
 def run_coverage_single(
-    aln_path, ref_fasta, work_dir, chrom, start, end, region_name, by, fast_mode, threads=1
+    aln_path, ref_fasta, work_dir, chrom, start, end, region_name, by, fast_mode,
+    threads=1, sparse_bed=False,
 ):
     """Produce the per-sample regions.bed.gz and window coverage."""
     aln = Path(aln_path)
@@ -100,11 +101,13 @@ def run_coverage_single(
         try:
             from grid_tpu.native import cram as native_cram
 
-            native_cram.binned_depth(str(aln), str(regions_file), int(by))
+            native_cram.binned_depth(str(aln), str(regions_file), int(by),
+                                     skip_zero=sparse_bed)
         except Exception:  # no toolchain / unsupported block codec
             from grid_tpu.io import cramlite
 
-            cramlite.binned_depth(str(aln), str(regions_file), int(by))
+            cramlite.binned_depth(str(aln), str(regions_file), int(by),
+                                  skip_zero=sparse_bed)
     else:
         native = _native_binner()
         if native is None or not str(aln).endswith(".bam"):
@@ -112,7 +115,8 @@ def run_coverage_single(
                 "No coverage backend: install mosdepth, or provide BAM/CRAM "
                 "input for the built-in depth binners."
             )
-        native.binned_depth(str(aln), str(regions_file), int(by))
+        native.binned_depth(str(aln), str(regions_file), int(by),
+                            skip_zero=sparse_bed)
 
     return compute_region_coverage(regions_file, chrom, start, end)
 
@@ -135,6 +139,7 @@ def compute_mosdepth(config, console=None):
     region_name = mcfg.get("region_name", "region")
     by = mcfg.get("bin_size", 1000)
     fast_mode = str(mcfg.get("mode", "fast")).lower() == "fast"
+    sparse_bed = bool(mcfg.get("sparse_bed", False))
     work_dir = Path(mcfg.get("work_dir")).expanduser()
     work_dir.mkdir(parents=True, exist_ok=True)
 
@@ -154,7 +159,8 @@ def compute_mosdepth(config, console=None):
     def process(path):
         try:
             return run_coverage_single(
-                path, ref, work_dir, chrom, start, end, region_name, by, fast_mode, threads
+                path, ref, work_dir, chrom, start, end, region_name, by,
+                fast_mode, threads, sparse_bed=sparse_bed,
             )
         except Exception as e:
             detail = getattr(e, "stderr", "") or str(e)

@@ -83,3 +83,35 @@ def test_dipcn_and_haploid_produced(full_run):
     assert np.isfinite(irrs).all()
     hap = (out_dir / "haploid_genotypes.tsv").read_text().splitlines()
     assert len(hap) == 7
+
+
+def test_sparse_bed_pipeline_equivalence(tmp_path):
+    """mosdepth.sparse_bed omits zero-depth bins from the intermediate
+    bed.gz; every downstream artifact must be byte-identical (the readers
+    filter depth > 0 regardless)."""
+    import copy
+    import gzip
+
+    from grid_tpu.pipeline import run_wgs_pipeline
+    from grid_tpu.synth import make_synthetic_cohort_with_alignments
+
+    outs = {}
+    for mode in ("dense", "sparse"):
+        cohort = make_synthetic_cohort_with_alignments(
+            tmp_path / mode, n_samples=6, seed=21
+        )
+        cfg = copy.deepcopy(cohort["config"])
+        cfg["mosdepth"]["sparse_bed"] = mode == "sparse"
+        cfg["compute_haploid_genotypes"]["run"] = False
+        run_wgs_pipeline(console=None, config=cfg)
+        res = cohort["results_dir"]
+        outs[mode] = {
+            "norm": gzip.open(res / "mosdepth_results_normalized.tsv.gz", "rb").read(),
+            "dip": (res / "diploid_genotypes.tsv").read_bytes(),
+        }
+        # the sparse workdir beds must actually be smaller
+        beds = sorted((tmp_path / mode / "mosdepth_workdir").glob("*.bed.gz"))
+        outs[mode]["bed_bytes"] = sum(b.stat().st_size for b in beds)
+    assert outs["dense"]["norm"] == outs["sparse"]["norm"]
+    assert outs["dense"]["dip"] == outs["sparse"]["dip"]
+    assert outs["sparse"]["bed_bytes"] < outs["dense"]["bed_bytes"] / 5
