@@ -254,6 +254,9 @@ mosdepth:
   region_name: "$LOCUS"
   work_dir: "$MOSDEPTH_WORK"
   remove_intermediate: False
+  # locus-subset CRAMs: zero-depth bins are ~99% of a genome-wide grid and
+  # downstream drops them anyway (built-in binners only; no-op for mosdepth)
+  sparse_bed: True
   normalize:
     run: True
     min_depth: 1
