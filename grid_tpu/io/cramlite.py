@@ -1765,7 +1765,9 @@ def binned_depth(path, out_bed_gz, bin_size: int = 1000,
                  ref_fasta=None, skip_zero: bool = False) -> None:
     """mosdepth-fast-mode binned depth -> regions.bed.gz (same math as
     native/src/bam.cpp:grid_bam_binned_depth: per-bin overlap sum / bin
-    width). ``skip_zero`` omits zero-depth bins."""
+    width). ``skip_zero`` omits zero-depth bins, except each contig's
+    final bin (always written so the sparse file records the contig
+    extent for exact window-coverage denominators)."""
     with CramReader(path, reference=None) as rd:
         refs = rd.references
         overlap = [
@@ -1791,7 +1793,7 @@ def binned_depth(path, out_bed_gz, bin_size: int = 1000,
     with gzip.open(out_bed_gz, "wt") as out:
         for (name, length), bins in zip(refs, overlap):
             for b, val in enumerate(bins):
-                if skip_zero and val == 0:
+                if skip_zero and val == 0 and b + 1 < len(bins):
                     continue
                 bs = b * bin_size
                 be = min(bs + bin_size, length)

@@ -248,11 +248,13 @@ class _PopulationAccum:
     """O(R) streaming accumulator of per-region population sums/counts.
 
     Regions are keyed by ``(chrom_id << 32) | start`` (one region per
-    (chrom, start) — duplicate starts with differing ends collapse
-    last-wins, matching the regular-grid reality of mosdepth output and the
-    existing streaming stager's semantics). Misses are buffered and merged
-    in bulk, so per-sample cost is O(R_sample log R) searchsorted, not a
-    re-sort of the universe.
+    (chrom, start), matching the regular-grid reality of mosdepth output).
+    A duplicate start with a DIFFERENT end would silently merge two
+    distinct regions — the dense stager and the reference key by
+    (start, end) — so ``add`` raises on an end mismatch rather than
+    collapsing last-wins; such inputs must go through ``stage_cohort``.
+    Misses are buffered and merged in bulk, so per-sample cost is
+    O(R_sample log R) searchsorted, not a re-sort of the universe.
     """
 
     def __init__(self):
@@ -270,9 +272,14 @@ class _PopulationAccum:
             pos = np.searchsorted(self.keys, keys)
             pc = pos.clip(max=len(self.keys) - 1)
             hit = (pos < len(self.keys)) & (self.keys[pc] == keys)
+            if hit.any() and (self.ends[pc[hit]] != ends[hit]).any():
+                raise ValueError(
+                    "stage_cohort_sharded: two regions share a (chrom, start)"
+                    " but differ in end — irregular grids with duplicate"
+                    " starts are not representable here; use stage_cohort."
+                )
             np.add.at(self.sums, pc[hit], depths[hit])
             np.add.at(self.counts, pc[hit], 1)
-            self.ends[pc[hit]] = ends[hit]
             miss = ~hit
         else:
             miss = np.ones(len(keys), bool)
@@ -322,9 +329,18 @@ def _sample_keys(chrom_ids: dict, segments):
     keys = np.concatenate(keys_l)
     depths = np.concatenate(depths_l)
     ends = np.concatenate(ends_l)
-    # last occurrence of each key wins (reference dict-overwrite semantics)
+    # last occurrence of each key wins (reference dict-overwrite semantics);
+    # duplicate keys are legal only when their ends agree (see _PopulationAccum)
     _, idx = np.unique(keys[::-1], return_index=True)
     keep = np.sort(len(keys) - 1 - idx)
+    if len(keep) < len(keys):
+        order = np.argsort(keys, kind="stable")
+        same_key = keys[order][1:] == keys[order][:-1]
+        if (ends[order][1:][same_key] != ends[order][:-1][same_key]).any():
+            raise ValueError(
+                "stage_cohort_sharded: duplicate (chrom, start) with differing"
+                " end within one sample; use stage_cohort for irregular grids."
+            )
     return keys[keep], depths[keep], ends[keep]
 
 

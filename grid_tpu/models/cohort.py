@@ -172,7 +172,15 @@ def cohort_step(
             raise ValueError(f"k={params.num_neighbors} must be <= N-1={n - 1}")
         zp = prepare_z(z, norm.mask, params.zmax, region_mask=region_used)
         d2 = d2_matrix(zp, row_valid=sample_ok)
-        neg, nbr_idx = jax.lax.approx_max_k(-d2, params.num_neighbors)
+        # recall_target=1.0 is REQUIRED: the default 0.95 would make the
+        # TPU lowering genuinely approximate, silently breaking the
+        # byte-identity parity contract for the written neighbor lists.
+        # (CPU lowers to an exact sort either way, so CPU tests can't
+        # catch a regression here — tests/test_fused_pipeline.py pins it
+        # by source inspection.)
+        neg, nbr_idx = jax.lax.approx_max_k(
+            -d2, params.num_neighbors, recall_target=1.0
+        )
         sq_dists = -neg
     elif params.use_pallas:
         # fused z-prep + Gram matmul in one Pallas kernel (TPU fast path)

@@ -361,9 +361,14 @@ int grid_bam_binned_depth(const char* path, const char* out_path, int32_t bin_si
   char line[192];
   for (size_t i = 0; i < hdr.refs.size(); ++i) {
     for (size_t b = 0; b < overlap[i].size(); ++b) {
-      if (skip_zero && overlap[i][b] == 0) continue;  // zero-depth bins are
-      // dropped by every downstream reader (depth > 0 filter); sparse mode
-      // omits them for locus-subset cohorts where they dominate the file
+      // zero-depth bins are dropped by every downstream reader
+      // (depth > 0 filter); sparse mode omits them for locus-subset
+      // cohorts where they dominate the file. The FINAL bin of each
+      // contig is always written so the sparse file still records the
+      // contig extent — compute_region_coverage needs it to clip window
+      // denominators exactly like the dense output.
+      if (skip_zero && overlap[i][b] == 0 && b + 1 < overlap[i].size())
+        continue;
       int64_t bs = (int64_t)b * bin_size;
       int64_t be = std::min<int64_t>(bs + bin_size, hdr.refs[i].len);
       double depth = (double)overlap[i][b] / (double)(be - bs);

@@ -1083,7 +1083,9 @@ int grid_cram_binned_depth(const char* path, const char* out_path,
   char line[192];
   for (size_t i = 0; i < cf.refs.size(); ++i) {
     for (size_t b = 0; b < overlap[i].size(); ++b) {
-      if (skip_zero && overlap[i][b] == 0) continue;  // see bam.cpp note
+      // see bam.cpp note: final bin always written in sparse mode
+      if (skip_zero && overlap[i][b] == 0 && b + 1 < overlap[i].size())
+        continue;
       int64_t bs = (int64_t)b * bin_size;
       int64_t be = std::min<int64_t>(bs + bin_size, cf.refs[i].second);
       double depth = (double)overlap[i][b] / (double)(be - bs);

@@ -58,12 +58,21 @@ def build_mosdepth_command(cram_path, ref_fasta, output_prefix, by, fast_mode, t
     return cmd
 
 
-def compute_region_coverage(regions_file, chrom, start, end) -> int:
+def compute_region_coverage(regions_file, chrom, start, end, sparse=False) -> int:
     """Overlap-weighted mean depth over [start, end], scaled by 100 and
     rounded (ref: grid/utils/mosdepth.py:264-297; formula
-    docs/source/algorithms/coverage.rst:25-45)."""
+    docs/source/algorithms/coverage.rst:25-45).
+
+    ``sparse``: the bed.gz was written with skip_zero — zero-depth bins
+    inside the window are absent from the file but MUST still count in the
+    denominator (they carry 0 depth). The built-in binners always emit each
+    contig's final bin in sparse mode, so the max bin end seen for ``chrom``
+    is the contig length; the denominator is the window clipped to it —
+    identical to summing overlaps over the dense tiling.
+    """
     region_cov = 0.0
     covered_bp = 0
+    contig_end = 0
     with gzip.open(regions_file, "rt") as f:
         for line in f:
             fields = line.strip().split("\t")
@@ -72,10 +81,13 @@ def compute_region_coverage(regions_file, chrom, start, end) -> int:
             r_chr, r_start, r_end, mean_cov = fields[0], int(fields[1]), int(fields[2]), float(fields[3])
             if r_chr != chrom:
                 continue
+            contig_end = max(contig_end, r_end)
             overlap = min(end, r_end) - max(start, r_start)
             if overlap > 0:
                 region_cov += mean_cov * overlap
                 covered_bp += overlap
+    if sparse:
+        covered_bp = max(0, min(end, contig_end) - max(start, 0))
     return int(round(100 * (region_cov / covered_bp))) if covered_bp > 0 else 0
 
 
@@ -90,6 +102,7 @@ def run_coverage_single(
     regions_file = Path(f"{out_prefix}.regions.bed.gz")
 
     if mosdepth_available():
+        sparse_bed = False  # mosdepth always writes the dense tiling
         cmd = build_mosdepth_command(str(aln), ref_fasta, out_prefix, by, fast_mode, threads)
         subprocess.run(cmd, check=True, capture_output=True, text=True)
         if not regions_file.exists():
@@ -118,7 +131,7 @@ def run_coverage_single(
         native.binned_depth(str(aln), str(regions_file), int(by),
                             skip_zero=sparse_bed)
 
-    return compute_region_coverage(regions_file, chrom, start, end)
+    return compute_region_coverage(regions_file, chrom, start, end, sparse=sparse_bed)
 
 
 def compute_mosdepth(config, console=None):

@@ -108,10 +108,44 @@ def test_sparse_bed_pipeline_equivalence(tmp_path):
         outs[mode] = {
             "norm": gzip.open(res / "mosdepth_results_normalized.tsv.gz", "rb").read(),
             "dip": (res / "diploid_genotypes.tsv").read_bytes(),
+            # the step-3 coverage ARTIFACT must match too: sparse mode must
+            # not inflate the window mean by dropping zero bins from the
+            # denominator (rows are append-ordered by thread completion, so
+            # compare as sorted line sets)
+            "cov": sorted((res / "mosdepth_results.tsv").read_bytes().splitlines()),
         }
         # the sparse workdir beds must actually be smaller
         beds = sorted((tmp_path / mode / "mosdepth_workdir").glob("*.bed.gz"))
         outs[mode]["bed_bytes"] = sum(b.stat().st_size for b in beds)
     assert outs["dense"]["norm"] == outs["sparse"]["norm"]
     assert outs["dense"]["dip"] == outs["sparse"]["dip"]
+    assert outs["dense"]["cov"] == outs["sparse"]["cov"]
     assert outs["sparse"]["bed_bytes"] < outs["dense"]["bed_bytes"] / 5
+
+
+def test_sparse_coverage_zero_bins_count_in_denominator(tmp_path):
+    """A zero-depth bin INSIDE the window must still dilute the window mean
+    in sparse mode (ADVICE r2: covered_bp was derived from bins present,
+    inflating sparse coverage vs mosdepth/dense output)."""
+    import gzip
+
+    from grid_tpu.steps.coverage import compute_region_coverage
+
+    dense = tmp_path / "dense.bed.gz"
+    sparse = tmp_path / "sparse.bed.gz"
+    # contig of 4 kb bins: depths 10, 0, 30, 0(final, always written sparse)
+    rows = [("chr1", 0, 1000, 10.0), ("chr1", 1000, 2000, 0.0),
+            ("chr1", 2000, 3000, 30.0), ("chr1", 3000, 4000, 0.0)]
+    with gzip.open(dense, "wt") as f:
+        for c, s, e, d in rows:
+            f.write(f"{c}\t{s}\t{e}\t{d:.2f}\n")
+    with gzip.open(sparse, "wt") as f:
+        for c, s, e, d in rows:
+            if d == 0.0 and e != 4000:  # skip_zero keeps the final bin
+                continue
+            f.write(f"{c}\t{s}\t{e}\t{d:.2f}\n")
+
+    for win in [(0, 3000), (500, 2500), (0, 4000), (2500, 9999)]:
+        want = compute_region_coverage(dense, "chr1", *win)
+        got = compute_region_coverage(sparse, "chr1", *win, sparse=True)
+        assert got == want, f"window {win}: sparse {got} != dense {want}"

@@ -183,3 +183,23 @@ def test_device_dtype_knob(tmp_path):
     for a, b in zip(outs["auto"][1:], outs["f32"][1:]):
         va, vb = float(a.split("\t")[1]), float(b.split("\t")[1])
         assert abs(va - vb) < 1e-4
+
+
+def test_approx_max_k_recall_is_exact():
+    """The d2-resident neighbor selection must pass recall_target=1.0:
+    JAX's 0.95 default makes approx_max_k genuinely approximate ON TPU
+    (CPU lowers to an exact sort, so a numeric CPU test cannot catch a
+    regression) — and approximate neighbor lists break the written-artifact
+    parity contract. Pin it by source inspection."""
+    import inspect
+
+    import grid_tpu.models.cohort as cohort_mod
+
+    src = inspect.getsource(cohort_mod)
+    assert "approx_max_k" in src
+    for i, line in enumerate(src.splitlines()):
+        if "approx_max_k(" in line:
+            window = "\n".join(src.splitlines()[i : i + 3])
+            assert "recall_target=1.0" in window, (
+                "approx_max_k without recall_target=1.0 in models/cohort.py"
+            )
