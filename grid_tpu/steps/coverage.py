@@ -134,6 +134,32 @@ def run_coverage_single(
     return compute_region_coverage(regions_file, chrom, start, end, sparse=sparse_bed)
 
 
+_INTERMEDIATE_SUFFIXES = (
+    "mosdepth.global.dist.txt",
+    "mosdepth.region.dist.txt",
+    "mosdepth.summary.txt",
+    "regions.bed.gz.csi",
+)
+
+
+def remove_intermediate_files(work_dir, console=None, include_region_bed_gz=False):
+    """Delete mosdepth side-products from work_dir, keeping the
+    regions.bed.gz step 4 consumes (ref: grid/utils/mosdepth.py:300-326;
+    gated by ``mosdepth.remove_intermediate`` like ref mosdepth.py:36,104).
+    The built-in binners produce none of these, so this is a no-op on the
+    native path."""
+    suffixes = _INTERMEDIATE_SUFFIXES
+    if include_region_bed_gz:
+        suffixes = suffixes + ("regions.bed.gz",)
+    for f in Path(work_dir).glob("*"):
+        if f.name.endswith(suffixes):
+            try:
+                f.unlink()
+            except OSError as e:
+                log(console, f"Failed to remove intermediate file {f}: {e}",
+                    style="warning")
+
+
 def compute_mosdepth(config, console=None):
     directory_loc = config["directory_loc"]
     samples = read_samples(config["samples_file"])
@@ -195,6 +221,9 @@ def compute_mosdepth(config, console=None):
                     log(console, f"✗ {sample} failed: {detail}", style="danger")
                     failed.append(sample)
                 progress.update(task, advance=1)
+
+    if mcfg.get("remove_intermediate", False):
+        remove_intermediate_files(work_dir, console)
 
     log(console, f"Coverage results written to {output_path}", style="success")
     return output_path

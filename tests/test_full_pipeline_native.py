@@ -149,3 +149,47 @@ def test_sparse_coverage_zero_bins_count_in_denominator(tmp_path):
         want = compute_region_coverage(dense, "chr1", *win)
         got = compute_region_coverage(sparse, "chr1", *win, sparse=True)
         assert got == want, f"window {win}: sparse {got} != dense {want}"
+
+
+def test_remove_intermediate_files(tmp_path):
+    """mosdepth.remove_intermediate deletes side-products but keeps the
+    regions.bed.gz step 4 needs (ref: grid/utils/mosdepth.py:300-326)."""
+    from grid_tpu.steps.coverage import remove_intermediate_files
+
+    keep = tmp_path / "S1_SYN.regions.bed.gz"
+    gone = [
+        tmp_path / "S1_SYN.mosdepth.global.dist.txt",
+        tmp_path / "S1_SYN.mosdepth.region.dist.txt",
+        tmp_path / "S1_SYN.mosdepth.summary.txt",
+        tmp_path / "S1_SYN.regions.bed.gz.csi",
+    ]
+    for f in [keep, *gone]:
+        f.write_text("x")
+    remove_intermediate_files(tmp_path)
+    assert keep.exists()
+    assert not any(f.exists() for f in gone)
+    # include_region_bed_gz sweeps the beds too
+    remove_intermediate_files(tmp_path, include_region_bed_gz=True)
+    assert not keep.exists()
+
+
+def test_pipeline_cleans_workdir_when_configured(tmp_path):
+    """With remove_intermediate=True the coverage step leaves only
+    *.regions.bed.gz per sample in work_dir (native binner emits nothing
+    else, so pre-seed a fake mosdepth side-product)."""
+    import copy
+    from pathlib import Path
+
+    from grid_tpu.pipeline import run_wgs_pipeline
+    from grid_tpu.synth import make_synthetic_cohort_with_alignments
+
+    cohort = make_synthetic_cohort_with_alignments(tmp_path, n_samples=3, seed=7)
+    cfg = copy.deepcopy(cohort["config"])
+    cfg["mosdepth"]["remove_intermediate"] = True
+    work = Path(cfg["mosdepth"]["work_dir"])
+    work.mkdir(parents=True, exist_ok=True)
+    (work / "stale.mosdepth.summary.txt").write_text("x")
+    cfg["compute_haploid_genotypes"]["run"] = False
+    run_wgs_pipeline(console=None, config=cfg)
+    leftovers = [p.name for p in work.glob("*") if not p.name.endswith("regions.bed.gz")]
+    assert leftovers == []
