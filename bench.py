@@ -8,7 +8,17 @@ same libraries and algorithms the reference uses).
 
 Prints ONE JSON line:
     {"metric": ..., "value": samples_per_s, "unit": "samples/s",
-     "vs_baseline": speedup_over_cpu_reference}
+     "vs_baseline": speedup_over_cpu_reference,
+     "mfu": model_flops_fraction_of_peak, "hbm_util": bandwidth_fraction}
+
+Roofline model (so "fast" is judged against hardware, not vibes):
+the step's MXU work is the Gram matmul (2*N^2*R flops); its HBM traffic is
+dominated by the selection/bisection passes over the resident [N, N] d2
+(~35 full-matrix reads: 31 bisection count passes + tie-cut + masked sums
++ approx_max_k + the initial write) plus a few [N, R] z passes. mfu is
+quoted against v5e bf16 peak (197 TFLOP/s), hbm_util against 819 GB/s —
+low mfu WITH low hbm_util means the step is latency-bound (sequential
+bisection passes), which is the measured regime at N=2504.
 
 Usage: python bench.py [--quick] [--n N] [--r R] [--k K] [--skip-baseline]
 """
@@ -144,7 +154,9 @@ def _run_measurement(n, r, k, n_nbr, check):
     line consumed by the parent."""
     values, mask, reads = make_matrix(n, r)
     t_dev, out = bench_device(values, mask, reads, k, n_nbr)
-    result = {"t_dev": t_dev}
+    import jax
+
+    result = {"t_dev": t_dev, "platform": jax.devices()[0].platform}
     if check:
         t_cpu, cpu_dip = bench_cpu_reference(values, mask, reads, k, n_nbr)
         dev_dip = np.asarray(out.dipcn)
@@ -234,6 +246,16 @@ def main():
     metric = f"normalize+kNN+dipCN cohort throughput (N={n}, R={r}, k={k})"
     if backend != "accelerator":
         metric += " [cpu-fallback]"
+
+    # roofline utilization (see module docstring for the traffic model);
+    # only meaningful against the TPU peaks
+    mfu = hbm_util = None
+    if backend == "accelerator" and res.get("platform") == "tpu":
+        model_flops = 2.0 * n * n * r
+        model_bytes = 35.0 * n * n * 4 + 6.0 * n * r * 4
+        mfu = round(model_flops / t_dev / 197e12, 4)
+        hbm_util = round(model_bytes / t_dev / 819e9, 4)
+
     print(
         json.dumps(
             {
@@ -241,6 +263,8 @@ def main():
                 "value": round(n / t_dev, 1),
                 "unit": "samples/s",
                 "vs_baseline": round(vs, 2) if vs == vs else None,
+                "mfu": mfu,
+                "hbm_util": hbm_util,
             }
         )
     )

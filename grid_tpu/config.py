@@ -147,6 +147,7 @@ DEVICE_SCHEMA = [
     {"path": ("device", "fused"), "default": False},  # steps 4-7 as one device program
     {"path": ("device", "exact_phasing"), "default": False},  # host Gauss-Seidel parity mode
     {"path": ("device", "streaming_stage"), "default": "auto"},  # auto|true|false
+    {"path": ("device", "dispatch"), "default": "auto"},  # auto|flat|ring (parallel/policy.py)
 ]
 
 

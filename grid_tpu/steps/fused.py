@@ -116,13 +116,27 @@ def run_fused_steps(config, console=None, timer=None):
     mesh_shape = config.get("device", {}).get("mesh_shape")
     dtype = resolve_dtype(config)
     stage_values = stage.values if dtype is None else stage.values.astype(dtype)
+    if mesh_shape:
+        # the ring loses 2x to the flat op below the measured crossover
+        # (parallel/policy.py) — a configured mesh is a capability, not a
+        # commitment
+        from grid_tpu.parallel.policy import choose_cohort_execution
+
+        n_dev = int(np.prod(mesh_shape))
+        dispatch = str(config.get("device", {}).get("dispatch", "auto"))
+        choice = choose_cohort_execution(n, n_dev, dispatch)
+        if choice == "flat":
+            log(console,
+                f"dispatch policy: N={n} below ring crossover — running the"
+                f" single-device step despite mesh_shape={mesh_shape}",
+                style="info")
+            mesh_shape = None
     with step_timer("fused.device", timer, None):
         if mesh_shape:
             # config-driven multi-chip execution: shard the cohort axis over
             # the requested mesh and run the explicit-collective step
             from grid_tpu.parallel import cohort_mesh, sharded_cohort_step
 
-            n_dev = int(np.prod(mesh_shape))
             mesh = cohort_mesh(n_dev)
             out = sharded_cohort_step(
                 mesh, stage_values, stage.mask, reads, reads_valid,

@@ -169,3 +169,55 @@ def test_ring_knn_never_materializes_wide_panels():
     wide = [s for s in all_shapes if len(s) == 2 and s[0] in (b, n)
             and s[1] > 2 * b + k and s[1] != r]
     assert not wide, f"ring kernel materializes wide panels: {wide}"
+
+
+class TestDispatchPolicy:
+    """The measured flat-vs-ring crossover (docs/perf.md mesh sweep) is
+    CODE, not folklore: a configured mesh must not cost a small cohort 2x."""
+
+    def test_crossover_brackets_match_measurements(self):
+        from grid_tpu.parallel.policy import choose_cohort_execution
+
+        # measured: flat wins at 8,192; ring wins at 32,768 (8-dev mesh)
+        assert choose_cohort_execution(8_192, 8) == "flat"
+        assert choose_cohort_execution(32_768, 8) == "ring"
+
+    def test_single_device_always_flat(self):
+        from grid_tpu.parallel.policy import choose_cohort_execution
+
+        assert choose_cohort_execution(1_000_000, 1) == "flat"
+
+    def test_forced_dispatch(self):
+        import pytest
+
+        from grid_tpu.parallel.policy import choose_cohort_execution
+
+        assert choose_cohort_execution(100, 8, "ring") == "ring"
+        assert choose_cohort_execution(100_000, 8, "flat") == "flat"
+        with pytest.raises(ValueError):
+            choose_cohort_execution(100, 8, "fastest")
+        with pytest.raises(ValueError):
+            choose_cohort_execution(100, 1, "ring")
+
+    def test_fused_step_routes_small_mesh_cohort_flat(self, tmp_path, monkeypatch):
+        """A 12-sample cohort with device.mesh_shape=[8] must run the
+        single-device step: the sharded path is patched to explode."""
+        import copy
+
+        import grid_tpu.steps.fused as fused_mod
+        from grid_tpu.pipeline import run_wgs_pipeline
+        from grid_tpu.synth import make_synthetic_cohort
+
+        def boom(*a, **k):  # pragma: no cover - failure path
+            raise AssertionError("ring path taken below crossover")
+
+        # fused.py resolves the symbol from the package at call time
+        monkeypatch.setattr("grid_tpu.parallel.sharded_cohort_step", boom)
+        cohort = make_synthetic_cohort(tmp_path, n_samples=12, seed=3)
+        cfg = copy.deepcopy(cohort["config"])
+        cfg["device"] = {"fused": True, "mesh_shape": [8]}
+        (tmp_path / "results" / "read_counts.tsv").write_bytes(
+            cohort["counts_file"].read_bytes()
+        )
+        run_wgs_pipeline(console=None, config=cfg)
+        assert (tmp_path / "results" / "diploid_genotypes.tsv").exists()
