@@ -148,6 +148,7 @@ DEVICE_SCHEMA = [
     {"path": ("device", "exact_phasing"), "default": False},  # host Gauss-Seidel parity mode
     {"path": ("device", "streaming_stage"), "default": "auto"},  # auto|true|false
     {"path": ("device", "dispatch"), "default": "auto"},  # auto|flat|ring (parallel/policy.py)
+    {"path": ("device", "fused_ingest"), "default": "auto"},  # auto|true|false (steps/ingest.py)
 ]
 
 

@@ -42,7 +42,7 @@ from grid_tpu.ops.knn import (
 )
 from grid_tpu.ops.normalize import normalize_cohort, select_high_variance_mask
 from grid_tpu.ops.phasing import PhasingResult, compute_imputed, phase_haplotypes
-from grid_tpu.ops.select import dipcn_from_distances
+from grid_tpu.ops.select import dipcn_from_distances, dipcn_from_distances_panels
 
 
 class CohortParams(NamedTuple):
@@ -206,15 +206,25 @@ def cohort_step(
             d2, w, w, reads_valid, reads_valid,
             k=params.num_neighbors, n_nbr=params.n_nbr,
         )
-    else:
+    elif params.use_pallas:
+        # experimental path: no zp in scope; keep the gather formulation
         nbr_usable = reads_valid[nbr_idx]
         nbr_contrib = reads[nbr_idx] / scales[nbr_idx]
         dipcn, dipcn_valid = compute_dipcn(
-            reads / scales,
-            reads_valid,
-            nbr_contrib,
-            nbr_usable,
+            reads / scales, reads_valid, nbr_contrib, nbr_usable,
             n_nbr=params.n_nbr,
+        )
+    else:
+        # beyond the d2 budget the SAME gather-free formulation streams row
+        # panels (ops/select.py:dipcn_from_distances_panels) — the [N, k]
+        # gather (the measured-slowest op) is gone at every N. Distance
+        # geometry is masked by sample_ok (a read-less sample still
+        # occupies k-slots), identical to the resident branch.
+        w = reads / scales
+        dipcn, dipcn_valid = dipcn_from_distances_panels(
+            zp, w, w, reads_valid, reads_valid,
+            k=params.num_neighbors, n_nbr=params.n_nbr,
+            row_block=params.row_block, row_valid=sample_ok,
         )
 
     # ---- step 7: phasing ----------------------------------------------

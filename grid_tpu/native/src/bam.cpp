@@ -27,6 +27,7 @@
 #include <unordered_set>
 #include <vector>
 
+#include "bedwrite.h"
 #include "bgzf.h"
 
 namespace gridtpu {
@@ -239,6 +240,62 @@ std::string bai_path_for(const char* bam_path) {
   return "";
 }
 
+// One sequential scan: mosdepth-fast-mode per-bin overlap accumulation for
+// every reference, optionally fused with the step-2 window read count
+// (reference filter semantics, grid/utils/count_reads.py:96-107) so steps
+// 2+3 share a single decompression pass over the BAM.
+int scan_bam_bins(const char* path, int32_t bin_size, int32_t exclude_flags,
+                  int32_t bin_min_mapq, BamHeader* hdr,
+                  std::vector<std::vector<int64_t>>* overlap,
+                  const char* count_chrom, int64_t wstart, int64_t wend,
+                  const int32_t* flags, int32_t n_flags,
+                  int32_t count_min_mapq, int64_t* out_count) {
+  BgzfReader r;
+  if (!r.open(path)) return -1;
+  if (!read_header(r, hdr)) return -2;
+
+  overlap->assign(hdr->refs.size(), {});
+  for (size_t i = 0; i < hdr->refs.size(); ++i)
+    (*overlap)[i].assign((hdr->refs[i].len + bin_size - 1) / bin_size, 0);
+
+  const bool counting = count_chrom != nullptr && out_count != nullptr;
+  int32_t count_tid = counting ? hdr->tid(count_chrom) : -1;
+  std::unordered_set<int32_t> flagset;
+  if (counting && flags) flagset.insert(flags, flags + n_flags);
+  int64_t count = 0;
+
+  std::vector<uint8_t> buf;
+  Rec rec;
+  while (read_record(r, buf, &rec)) {
+    if (counting && rec.refid == count_tid && flagset.count((int32_t)rec.flag) &&
+        rec.mapq >= count_min_mapq && rec.refid == rec.next_refid &&
+        !(rec.flag & FLAG_DUP) && !(rec.flag & FLAG_SECONDARY) &&
+        rec.pos >= wstart && rec.pos < wend)
+      ++count;
+    if (rec.refid < 0 || rec.refid >= (int32_t)hdr->refs.size()) continue;
+    if (rec.flag & exclude_flags) continue;
+    if (rec.mapq < bin_min_mapq) continue;
+    int64_t beg = rec.pos;
+    int64_t end = rec.pos + (rec.ref_span > 0 ? rec.ref_span : 0);
+    if (beg < 0 || end <= beg) continue;
+    auto& bins = (*overlap)[rec.refid];
+    for (int64_t b = beg / bin_size; b <= (end - 1) / bin_size && b < (int64_t)bins.size(); ++b) {
+      int64_t bs = b * bin_size, be = bs + bin_size;
+      int64_t o = std::min(end, be) - std::max(beg, bs);
+      if (o > 0) bins[b] += o;
+    }
+  }
+  if (out_count) *out_count = count;
+  return 0;
+}
+
+std::vector<std::pair<std::string, int64_t>> refs_as_pairs(const BamHeader& hdr) {
+  std::vector<std::pair<std::string, int64_t>> refs;
+  refs.reserve(hdr.refs.size());
+  for (const auto& r : hdr.refs) refs.emplace_back(r.name, (int64_t)r.len);
+  return refs;
+}
+
 }  // namespace
 }  // namespace gridtpu
 
@@ -321,69 +378,69 @@ int64_t grid_bam_count(const char* path, const char* chrom, int64_t start, int64
 }
 
 // Genome-binned depth (mosdepth --fast-mode semantics). Writes
-// "chrom\tstart\tend\tdepth" gzip lines for every bin of every reference.
+// "chrom\tstart\tend\tdepth" gzip lines for every bin of every reference
+// (skip_zero: zero-depth bins omitted except each contig's final bin —
+// sparse mode for locus-subset cohorts; see bedwrite.h write_bins_bed).
 int grid_bam_binned_depth(const char* path, const char* out_path, int32_t bin_size,
                           int32_t exclude_flags, int32_t min_mapq,
                           int32_t skip_zero) {
-  BgzfReader r;
-  if (!r.open(path)) return -1;
   BamHeader hdr;
-  if (!read_header(r, &hdr)) return -2;
+  std::vector<std::vector<int64_t>> overlap;
+  int rc = scan_bam_bins(path, bin_size, exclude_flags, min_mapq, &hdr, &overlap,
+                         nullptr, 0, 0, nullptr, 0, 0, nullptr);
+  if (rc != 0) return rc;
+  if (!write_bins_bed(out_path, refs_as_pairs(hdr), overlap, bin_size,
+                      skip_zero != 0))
+    return -3;
+  return 0;
+}
 
-  std::vector<std::vector<int64_t>> overlap(hdr.refs.size());
-  for (size_t i = 0; i < hdr.refs.size(); ++i) {
-    overlap[i].assign((hdr.refs[i].len + bin_size - 1) / bin_size, 0);
-  }
+// Fused one-pass ingest: steps 2+3 (+ the staging scan) in ONE decompression
+// pass over the BAM. Replaces the reference's two-tool / two-pass shape
+// (pysam count_reads + the mosdepth binary, grid/utils/count_reads.py:82-107
+// and grid/utils/mosdepth.py:179-297):
+//   - writes the genome-wide regions.bed.gz artifact (byte-identical to
+//     grid_bam_binned_depth output),
+//   - returns the step-2 window read count (*out_count),
+//   - returns the step-3 window coverage int (*out_cov100, identical to
+//     re-reading the dense bed through compute_region_coverage),
+//   - fills the staged window bins (depth>0, rounded-as-written) so the
+//     normalize stage never re-reads the bed.gz it just wrote.
+// cov uses the EXACT chromosome name match (like compute_region_coverage);
+// staged bins use the normalized-prefix match (like read_regions_bed_gz);
+// the count accepts chr/no-chr alternates (like grid_bam_count).
+// Returns 0, or negative error (-5: bins_cap too small; *out_nbins holds
+// the required size).
+int grid_bam_ingest(const char* path, const char* out_bed, int32_t bin_size,
+                    int32_t exclude_flags, int32_t bin_min_mapq,
+                    int32_t skip_zero, const char* chrom, int64_t wstart,
+                    int64_t wend, const int32_t* flags, int32_t n_flags,
+                    int32_t count_min_mapq, const char* stage_chrom_prefix,
+                    int64_t* out_count, int64_t* out_cov100,
+                    int32_t* bins_refid, int64_t* bins_start,
+                    int64_t* bins_end, double* bins_depth, int64_t bins_cap,
+                    int64_t* out_nbins) {
+  BamHeader hdr;
+  std::vector<std::vector<int64_t>> overlap;
+  int rc = scan_bam_bins(path, bin_size, exclude_flags, bin_min_mapq, &hdr,
+                         &overlap, chrom, wstart, wend, flags, n_flags,
+                         count_min_mapq, out_count);
+  if (rc != 0) return rc;
 
-  std::vector<uint8_t> buf;
-  Rec rec;
-  while (read_record(r, buf, &rec)) {
-    if (rec.refid < 0 || rec.refid >= (int32_t)hdr.refs.size()) continue;
-    if (rec.flag & exclude_flags) continue;
-    if (rec.mapq < min_mapq) continue;
-    int64_t beg = rec.pos;
-    int64_t end = rec.pos + (rec.ref_span > 0 ? rec.ref_span : 0);
-    if (beg < 0 || end <= beg) continue;
-    auto& bins = overlap[rec.refid];
-    for (int64_t b = beg / bin_size; b <= (end - 1) / bin_size && b < (int64_t)bins.size(); ++b) {
-      int64_t bs = b * bin_size, be = bs + bin_size;
-      int64_t o = std::min(end, be) - std::max(beg, bs);
-      if (o > 0) bins[b] += o;
-    }
-  }
+  auto refs = refs_as_pairs(hdr);
+  int32_t cov_ref = -1;
+  for (size_t i = 0; i < refs.size(); ++i)
+    if (refs[i].first == chrom) { cov_ref = (int32_t)i; break; }
+  WindowProducts wp = collect_window_bins(
+      refs, overlap, bin_size, cov_ref, stage_chrom_prefix, wstart, wend,
+      bins_refid, bins_start, bins_end, bins_depth, bins_cap);
+  if (out_cov100) *out_cov100 = wp.cov100;
+  if (out_nbins) *out_nbins = wp.n_bins;
+  if (wp.overflow) return -5;
 
-  // buffered, level-1 gzip: the output is dominated by zero-depth bins
-  // (genome-wide grid), and per-line gzprintf costs ~1 us x 3M lines
-  gzFile out = gzopen(out_path, "wb1");
-  if (!out) return -3;
-  std::string chunk;
-  chunk.reserve(1 << 20);
-  char line[192];
-  for (size_t i = 0; i < hdr.refs.size(); ++i) {
-    for (size_t b = 0; b < overlap[i].size(); ++b) {
-      // zero-depth bins are dropped by every downstream reader
-      // (depth > 0 filter); sparse mode omits them for locus-subset
-      // cohorts where they dominate the file. The FINAL bin of each
-      // contig is always written so the sparse file still records the
-      // contig extent — compute_region_coverage needs it to clip window
-      // denominators exactly like the dense output.
-      if (skip_zero && overlap[i][b] == 0 && b + 1 < overlap[i].size())
-        continue;
-      int64_t bs = (int64_t)b * bin_size;
-      int64_t be = std::min<int64_t>(bs + bin_size, hdr.refs[i].len);
-      double depth = (double)overlap[i][b] / (double)(be - bs);
-      int n = snprintf(line, sizeof(line), "%s\t%lld\t%lld\t%.2f\n",
-                       hdr.refs[i].name.c_str(), (long long)bs, (long long)be,
-                       depth);
-      chunk.append(line, (size_t)n);
-      if (chunk.size() > (1 << 20) - 256) {
-        gzwrite(out, chunk.data(), (unsigned)chunk.size());
-        chunk.clear();
-      }
-    }
-  }
-  if (!chunk.empty()) gzwrite(out, chunk.data(), (unsigned)chunk.size());
-  gzclose(out);
+  if (out_bed && out_bed[0] &&
+      !write_bins_bed(out_bed, refs, overlap, bin_size, skip_zero != 0))
+    return -3;
   return 0;
 }
 

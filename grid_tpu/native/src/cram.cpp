@@ -22,6 +22,8 @@
 #include <string>
 #include <vector>
 
+#include "bedwrite.h"
+
 namespace {
 
 // ---------------------------------------------------------------- cursors
@@ -1008,7 +1010,66 @@ bool collect_region_records(CramFile& cf, int32_t ref_id, int64_t start,
   return rc == 0;
 }
 
+// One full decode pass: per-bin overlap accumulation for every reference,
+// optionally fused with the step-2 window read count (same filter as
+// grid_cram_count / grid/utils/count_reads.py:96-107). Twin of bam.cpp's
+// scan_bam_bins so BAM and CRAM cohorts share the one-pass ingest shape.
+int scan_cram_bins(CramFile& cf, int32_t bin_size, int32_t exclude_flags,
+                   int32_t bin_min_mapq,
+                   std::vector<std::vector<int64_t>>* overlap,
+                   int32_t count_ref, int64_t wstart, int64_t wend,
+                   const int32_t* flags, int32_t n_flags,
+                   int32_t count_min_mapq, int64_t* out_count) {
+  overlap->assign(cf.refs.size(), {});
+  for (size_t i = 0; i < cf.refs.size(); ++i)
+    (*overlap)[i].assign((size_t)((cf.refs[i].second + bin_size - 1) / bin_size), 0);
+
+  const bool counting = out_count != nullptr && count_ref >= 0;
+  std::set<int32_t> fset;
+  if (counting && flags) fset.insert(flags, flags + n_flags);
+  int64_t count = 0;
+
+  std::vector<LiteRec> recs;
+  int rc = cf.for_each_container(
+      [&](const ContainerHeader& h, const std::vector<uint8_t>& body, long) {
+        recs.clear();
+        if (!cf.decode_container(h, body, {}, recs)) return -11;
+        for (const auto& r : recs) {
+          if (counting && r.ref_id == count_ref && fset.count(r.flag) &&
+              r.mapq >= count_min_mapq && r.mate_ref == r.ref_id &&
+              !(r.flag & (0x400 | 0x100)) && r.pos >= wstart && r.pos < wend)
+            ++count;
+          if (r.ref_id < 0 || r.ref_id >= (int32_t)cf.refs.size()) continue;
+          if (r.flag & exclude_flags) continue;
+          if (r.mapq < bin_min_mapq) continue;
+          int64_t beg = r.pos;
+          int64_t endp = r.pos + (r.ref_len > 0 ? r.ref_len : 0);
+          if (endp <= beg) continue;
+          auto& bins = (*overlap)[r.ref_id];
+          for (int64_t b = beg / bin_size;
+               b <= (endp - 1) / bin_size && b < (int64_t)bins.size(); ++b) {
+            int64_t bs = b * bin_size, be = bs + bin_size;
+            int64_t o = std::min(endp, be) - std::max(beg, bs);
+            if (o > 0) bins[b] += o;
+          }
+        }
+        return 0;
+      });
+  if (rc != 0) return rc;
+  if (out_count) *out_count = counting ? count : 0;
+  return 0;
+}
+
+bool gridtpu_cram_write_bed(const char* out_path, const CramFile& cf,
+                            const std::vector<std::vector<int64_t>>& overlap,
+                            int32_t bin_size, bool skip_zero) {
+  return gridtpu::write_bins_bed(out_path, cf.refs, overlap, bin_size, skip_zero);
+}
+
 }  // namespace
+
+using gridtpu::WindowProducts;
+using gridtpu::collect_window_bins;
 
 extern "C" {
 
@@ -1047,60 +1108,74 @@ int grid_cram_binned_depth(const char* path, const char* out_path,
                            int32_t min_mapq, int32_t skip_zero) try {
   CramFile cf;
   if (!cf.open(path)) return -1;
-  std::vector<std::vector<int64_t>> overlap(cf.refs.size());
-  for (size_t i = 0; i < cf.refs.size(); ++i)
-    overlap[i].assign((size_t)((cf.refs[i].second + bin_size - 1) / bin_size), 0);
+  std::vector<std::vector<int64_t>> overlap;
+  int rc = scan_cram_bins(cf, bin_size, exclude_flags, min_mapq, &overlap,
+                          -1, 0, 0, nullptr, 0, 0, nullptr);
+  if (rc != 0) return rc;
+  if (!gridtpu_cram_write_bed(out_path, cf, overlap, bin_size, skip_zero != 0))
+    return -3;
+  return 0;
+} catch (const std::exception&) {
+  return -99;
+}
 
-  std::vector<LiteRec> recs;
-  int rc = cf.for_each_container(
-      [&](const ContainerHeader& h, const std::vector<uint8_t>& body, long) {
-        recs.clear();
-        if (!cf.decode_container(h, body, {}, recs)) return -11;
-        for (const auto& r : recs) {
-          if (r.ref_id < 0 || r.ref_id >= (int32_t)cf.refs.size()) continue;
-          if (r.flag & exclude_flags) continue;
-          if (r.mapq < min_mapq) continue;
-          int64_t beg = r.pos;
-          int64_t endp = r.pos + (r.ref_len > 0 ? r.ref_len : 0);
-          if (endp <= beg) continue;
-          auto& bins = overlap[r.ref_id];
-          for (int64_t b = beg / bin_size;
-               b <= (endp - 1) / bin_size && b < (int64_t)bins.size(); ++b) {
-            int64_t bs = b * bin_size, be = bs + bin_size;
-            int64_t o = std::min(endp, be) - std::max(beg, bs);
-            if (o > 0) bins[b] += o;
-          }
-        }
-        return 0;
-      });
+// Reference names + lengths from the CRAM SAM header (twin of
+// grid_bam_refs). names_out: NUL-separated names; lens_out: int64 lengths.
+// Returns the reference count, or a negative error code.
+int32_t grid_cram_refs(const char* path, char* names_out, int64_t cap,
+                       int64_t* lens_out, int32_t max_refs) try {
+  CramFile cf;
+  if (!cf.open(path)) return -1;
+  if ((int32_t)cf.refs.size() > max_refs) return -2;
+  int64_t off = 0;
+  for (size_t i = 0; i < cf.refs.size(); ++i) {
+    const std::string& n = cf.refs[i].first;
+    if (off + (int64_t)n.size() + 1 > cap) return -3;
+    memcpy(names_out + off, n.data(), n.size());
+    off += (int64_t)n.size();
+    names_out[off++] = '\0';
+    lens_out[i] = cf.refs[i].second;
+  }
+  return (int32_t)cf.refs.size();
+} catch (const std::exception&) {
+  return -99;
+}
+
+// Fused one-pass ingest for CRAM: steps 2+3 (+ the staging scan) in one
+// decode pass. Twin of grid_bam_ingest (see bam.cpp for the semantics and
+// the per-output parity contracts). Returns 0 or a negative error
+// (-5: bins_cap too small; *out_nbins holds the required size).
+int grid_cram_ingest(const char* path, const char* out_bed, int32_t bin_size,
+                     int32_t exclude_flags, int32_t bin_min_mapq,
+                     int32_t skip_zero, const char* chrom, int64_t wstart,
+                     int64_t wend, const int32_t* flags, int32_t n_flags,
+                     int32_t count_min_mapq, const char* stage_chrom_prefix,
+                     int64_t* out_count, int64_t* out_cov100,
+                     int32_t* bins_refid, int64_t* bins_start,
+                     int64_t* bins_end, double* bins_depth, int64_t bins_cap,
+                     int64_t* out_nbins) try {
+  CramFile cf;
+  if (!cf.open(path)) return -1;
+  int32_t count_ref = cf.ref_index(chrom);  // chr/no-chr alternates OK
+  std::vector<std::vector<int64_t>> overlap;
+  int rc = scan_cram_bins(cf, bin_size, exclude_flags, bin_min_mapq, &overlap,
+                          count_ref, wstart, wend, flags, n_flags,
+                          count_min_mapq, out_count);
   if (rc != 0) return rc;
 
-  // buffered, level-1 gzip (see grid_bam_binned_depth)
-  gzFile out = gzopen(out_path, "wb1");
-  if (!out) return -3;
-  std::string chunk;
-  chunk.reserve(1 << 20);
-  char line[192];
-  for (size_t i = 0; i < cf.refs.size(); ++i) {
-    for (size_t b = 0; b < overlap[i].size(); ++b) {
-      // see bam.cpp note: final bin always written in sparse mode
-      if (skip_zero && overlap[i][b] == 0 && b + 1 < overlap[i].size())
-        continue;
-      int64_t bs = (int64_t)b * bin_size;
-      int64_t be = std::min<int64_t>(bs + bin_size, cf.refs[i].second);
-      double depth = (double)overlap[i][b] / (double)(be - bs);
-      int n = snprintf(line, sizeof(line), "%s\t%lld\t%lld\t%.2f\n",
-                       cf.refs[i].first.c_str(), (long long)bs, (long long)be,
-                       depth);
-      chunk.append(line, (size_t)n);
-      if (chunk.size() > (1 << 20) - 256) {
-        gzwrite(out, chunk.data(), (unsigned)chunk.size());
-        chunk.clear();
-      }
-    }
-  }
-  if (!chunk.empty()) gzwrite(out, chunk.data(), (unsigned)chunk.size());
-  gzclose(out);
+  int32_t cov_ref = -1;
+  for (size_t i = 0; i < cf.refs.size(); ++i)
+    if (cf.refs[i].first == chrom) { cov_ref = (int32_t)i; break; }
+  WindowProducts wp = collect_window_bins(
+      cf.refs, overlap, bin_size, cov_ref, stage_chrom_prefix, wstart, wend,
+      bins_refid, bins_start, bins_end, bins_depth, bins_cap);
+  if (out_cov100) *out_cov100 = wp.cov100;
+  if (out_nbins) *out_nbins = wp.n_bins;
+  if (wp.overflow) return -5;
+
+  if (out_bed && out_bed[0] &&
+      !gridtpu_cram_write_bed(out_bed, cf, overlap, bin_size, skip_zero != 0))
+    return -3;
   return 0;
 } catch (const std::exception&) {
   return -99;

@@ -166,6 +166,85 @@ def dipcn_from_distances(d2, rnorm, nbr_w, col_usable, sample_valid,
     return dipcn, out_valid
 
 
+@partial(jax.jit, static_argnames=("k", "n_nbr", "row_block"))
+def dipcn_from_distances_panels(zp, rnorm, nbr_w, col_usable, sample_valid,
+                                k: int, n_nbr: int, row_block: int = 512,
+                                row_valid=None):
+    """Gather-free threshold dipCN WITHOUT the resident [N, N] matrix.
+
+    Extends :func:`dipcn_from_distances` past the d2 HBM budget (~23k rows
+    at 2 GB): stream ROW panels — each lax.scan step materializes one
+    [row_block, N] distance panel from the prepared z (one Gram matmul per
+    panel, the only [N, N]-order FLOPs) and runs the exact resident core on
+    it. A panel holds its rows' ENTIRE distance vectors, so the k-th
+    threshold, the tie cut, and the masked sums are exact per row — unlike
+    a column-panel decomposition, which cannot see the whole row (and whose
+    per-panel bisection was measured 40x slower at small panel widths,
+    docs/perf.md). Peak memory O(row_block * N); bisection traffic is the
+    same 31 x N^2 compare/count bytes as the resident form, just panel-wise.
+
+    Bit-identical to dipcn_from_distances on the same inputs: the panel
+    core IS dipcn_from_distances applied to a [B, N] row slice (its
+    internals are rectangular), with the same d2 construction as
+    ops/knn.d2_matrix (max(0) clamp, self/invalid columns -> finfo.max).
+
+    Args:
+        zp: [N, R] prepared z (clipped/filled/region-masked, ops/knn.prepare_z).
+        rnorm: [N] reads_i / scale_i.
+        nbr_w: [N] neighbor contribution per column.
+        col_usable: [N] bool — column may be averaged.
+        sample_valid: [N] bool — output validity per row.
+        k / n_nbr: neighbor-list length and averaging depth.
+        row_block: panel height.
+        row_valid: [N] bool — rows that exist in the distance geometry
+            (columns of ~row_valid rows are masked to finfo.max, exactly
+            d2_matrix(row_valid=...)). Defaults to sample_valid. NOTE the
+            distinction: a sample without a read count is row_valid (it can
+            BE a k-nearest neighbor, occupying a k-slot) but not col_usable
+            (it contributes nothing to the mean) — collapsing the two
+            changes which neighbors fill the k-set.
+
+    Returns (dipcn [N], out_valid [N]).
+    """
+    n = zp.shape[0]
+    dt = zp.dtype
+    big = jnp.asarray(jnp.finfo(dt).max, dt)
+    out_valid = jnp.asarray(sample_valid, bool)
+    geom = out_valid if row_valid is None else jnp.asarray(row_valid, bool)
+
+    b = min(row_block, n)
+    n_pad = ((n + b - 1) // b) * b
+    pad = n_pad - n
+    zp_p = jnp.pad(zp, ((0, pad), (0, 0)))
+    rnorm_p = jnp.pad(jnp.asarray(rnorm, dt), (0, pad))
+    valid_p = jnp.pad(out_valid, (0, pad))
+
+    col_sq = jnp.sum(zp * zp, axis=1)  # [N]
+    w = jnp.asarray(nbr_w, dt)
+    usable = jnp.asarray(col_usable, bool)
+    col_ids = jnp.arange(n, dtype=jnp.int32)
+
+    def panel(carry, i0):
+        zrow = jax.lax.dynamic_slice_in_dim(zp_p, i0 * b, b, axis=0)
+        vrow = jax.lax.dynamic_slice_in_dim(valid_p, i0 * b, b, axis=0)
+        rrow = jax.lax.dynamic_slice_in_dim(rnorm_p, i0 * b, b, axis=0)
+        g = jnp.dot(zrow, zp.T, preferred_element_type=dt)
+        d2 = jnp.sum(zrow * zrow, axis=1)[:, None] + col_sq[None, :] - 2 * g
+        d2 = jnp.maximum(d2, 0)
+        rows = i0 * b + jax.lax.iota(jnp.int32, b)
+        self_mask = rows[:, None] == col_ids[None, :]
+        # columns only (+ self), exactly d2_matrix(row_valid=...): invalid
+        # ROWS keep their real distances and are gated by sample_valid
+        d2 = jnp.where(self_mask | ~geom[None, :], big, d2)
+        dip, ok = dipcn_from_distances(d2, rrow, w, usable, vrow, k=k, n_nbr=n_nbr)
+        return carry, (dip, ok)
+
+    _, (dips, oks) = jax.lax.scan(
+        panel, None, jnp.arange(n_pad // b, dtype=jnp.int32)
+    )
+    return dips.reshape(-1)[:n], oks.reshape(-1)[:n]
+
+
 @partial(jax.jit, static_argnames=("k",))
 def sorted_smallest_k(d2, k: int):
     """Exact k smallest values per row with original column indices,

@@ -104,23 +104,27 @@ def sharded_cohort_step(
 
     zp = prepare_z(z, norm.mask, params.zmax, region_mask=region_used)
     sample_ok = jnp.any(norm.mask, axis=1) & row_valid
-    sq_dists, nbr_idx = ring_knn(zp, params.num_neighbors, mesh, row_valid=sample_ok)
 
-    # ---- step 6: dipCN (neighbor gather needs replicated reads/scales) --
-    # Replicate ON DEVICE: a jitted identity with replicated out_shardings
-    # compiles to one XLA all-gather over the mesh — no device_get/device_put
-    # host round-trip between the fused stages (design rule; at 100k-sample
-    # scale the host hop would serialize the gather through one process).
+    # ---- steps 5+6: ring kNN with dipCN payloads carried through --------
+    # Each row's dipCN contribution (reads/scale) and usability ride the
+    # ring WITH the candidate rows, so step 6 needs neither the replicated
+    # reads/scales vectors nor the [N, k] neighbor gather (the
+    # measured-slowest op, docs/perf.md) — the r2 gather-free win extended
+    # to the sharded path. Payload merge cost is O(B*k) per ring step,
+    # noise next to the [B, B] matmul.
+    usable_row = reads_valid & sample_ok
+    w_row = jnp.where(usable_row, jnp.asarray(reads), 0) / jnp.where(
+        scales == 0, 1, scales
+    )
+    sq_dists, nbr_idx, nbr_contrib, nbr_usable = ring_knn(
+        zp, params.num_neighbors, mesh, row_valid=sample_ok,
+        payloads=(w_row, usable_row),
+    )
     rep = replicated_sharding(mesh)
-    reads_g, scales_g, reads_valid_g = jax.jit(
-        lambda *xs: xs, out_shardings=(rep, rep, rep)
-    )(reads, scales, reads_valid & sample_ok)
 
-    nbr_contrib = reads_g[nbr_idx] / scales_g[nbr_idx]
-    nbr_usable = reads_valid_g[nbr_idx]
     dipcn, dipcn_valid = compute_dipcn(
         jnp.asarray(reads) / scales,
-        reads_valid & sample_ok,
+        usable_row,
         nbr_contrib,
         nbr_usable,
         n_nbr=params.n_nbr,

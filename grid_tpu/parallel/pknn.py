@@ -30,7 +30,7 @@ from jax import shard_map
 from grid_tpu.parallel.mesh import COHORT_AXIS
 
 
-def ring_knn(z, k: int, mesh, row_valid=None):
+def ring_knn(z, k: int, mesh, row_valid=None, payloads=()):
     """kNN over a cohort-sharded z matrix.
 
     Args:
@@ -39,15 +39,25 @@ def ring_knn(z, k: int, mesh, row_valid=None):
         mesh: 1-D cohort mesh.
         row_valid: [N] bool cohort-sharded; False rows (padding) are never
             returned as neighbors.
+        payloads: tuple of [N] cohort-sharded per-row attribute arrays to
+            carry THROUGH the ring alongside the candidates (each visiting
+            block brings its rows' attributes; the top-k merge keeps them
+            aligned with the selected neighbors). The returned [N, k]
+            attribute arrays make the downstream [N]-indexed neighbor
+            gather unnecessary — gathers are the measured-slowest TPU op
+            in this pipeline (docs/perf.md), and on a multi-host mesh the
+            gather would also need the attribute vector replicated.
 
-    Returns (sq_dists [N, k], idx [N, k]) cohort-sharded, ascending.
+    Returns (sq_dists [N, k], idx [N, k], *carried [N, k]) cohort-sharded,
+    ascending by distance.
     """
     n_dev = mesh.devices.size
     n = z.shape[0]
     if row_valid is None:
         row_valid = jnp.ones((n,), dtype=bool)
+    payloads = tuple(jnp.asarray(p) for p in payloads)
 
-    def kernel(z_local, valid_local):
+    def kernel(z_local, valid_local, *pay_local):
         b = z_local.shape[0]
         me = jax.lax.axis_index(COHORT_AXIS)
         sq_local = jnp.sum(z_local * z_local, axis=1)
@@ -58,7 +68,7 @@ def ring_knn(z, k: int, mesh, row_valid=None):
         perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
 
         def step(s, carry):
-            block, block_valid, best_d, best_i = carry
+            block, block_valid, block_pay, best_d, best_i, best_p = carry
             owner = (me - s) % n_dev  # which shard the visiting block came from
             # distance panel on the MXU: [B, B]
             g = jnp.dot(z_local, block.T, preferred_element_type=z_local.dtype)
@@ -74,26 +84,45 @@ def ring_knn(z, k: int, mesh, row_valid=None):
             neg, pos = jax.lax.top_k(-cat_d, k)
             best_d = -neg
             best_i = jnp.take_along_axis(cat_i, pos, axis=1)
+            best_p = tuple(
+                jnp.take_along_axis(
+                    jnp.concatenate(
+                        [bp, jnp.broadcast_to(pb[None, :], d2.shape).astype(bp.dtype)],
+                        axis=1,
+                    ),
+                    pos, axis=1,
+                )
+                for bp, pb in zip(best_p, block_pay)
+            )
             # forward the visiting block around the ring
             block = jax.lax.ppermute(block, COHORT_AXIS, perm)
             block_valid = jax.lax.ppermute(block_valid, COHORT_AXIS, perm)
-            return block, block_valid, best_d, best_i
+            block_pay = tuple(
+                jax.lax.ppermute(pb, COHORT_AXIS, perm) for pb in block_pay
+            )
+            return block, block_valid, block_pay, best_d, best_i, best_p
 
         # Constant-initialized carries must be marked device-varying over the
         # mesh axis (jax>=0.8 shard_map vma typing), since the loop outputs are.
         init = (
             z_local,
             valid_local,
+            tuple(pay_local),
             jax.lax.pvary(jnp.full((b, k), big, dtype=z_local.dtype), COHORT_AXIS),
             jax.lax.pvary(jnp.zeros((b, k), dtype=jnp.int32), COHORT_AXIS),
+            tuple(
+                jax.lax.pvary(jnp.zeros((b, k), dtype=p.dtype), COHORT_AXIS)
+                for p in pay_local
+            ),
         )
-        _, _, best_d, best_i = jax.lax.fori_loop(0, n_dev, step, init)
-        return best_d, best_i
+        _, _, _, best_d, best_i, best_p = jax.lax.fori_loop(0, n_dev, step, init)
+        return (best_d, best_i) + best_p
 
     sharded = shard_map(
         kernel,
         mesh=mesh,
-        in_specs=(P(COHORT_AXIS, None), P(COHORT_AXIS)),
-        out_specs=(P(COHORT_AXIS, None), P(COHORT_AXIS, None)),
+        in_specs=(P(COHORT_AXIS, None), P(COHORT_AXIS))
+        + (P(COHORT_AXIS),) * len(payloads),
+        out_specs=(P(COHORT_AXIS, None),) * (2 + len(payloads)),
     )
-    return jax.jit(sharded)(z, row_valid)
+    return jax.jit(sharded)(z, row_valid, *payloads)

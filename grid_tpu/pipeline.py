@@ -200,8 +200,41 @@ def run_wgs_pipeline(console=None, config=None, validate: bool = True):
     from grid_tpu.steps.neighbors import find_neighbors
     from grid_tpu.steps.normalize import normalize_mosdepth
 
-    gated(config_data.get("count_reads", {}), "count_reads", count_reads)
-    gated(config_data.get("mosdepth", {}), "mosdepth", compute_mosdepth)
+    # Steps 2+3 (+ the staging scan) as ONE native pass per sample when the
+    # one-pass ingest is available (steps/ingest.py) — the reference's
+    # three-pass shape (pysam count, mosdepth, normalize re-scan) is ~85%
+    # of real-cohort wall-clock. Artifacts stay byte-identical; resume
+    # state is recorded under the classic step names so either mode can
+    # resume the other's outputs.
+    from grid_tpu.steps.ingest import fused_ingest_enabled, run_fused_ingest
+
+    ingest_done = False
+    if fused_ingest_enabled(config_data):
+        if resume.should_skip("count_reads", config_data) and resume.should_skip(
+            "mosdepth", config_data
+        ):
+            log(console, "[count_reads+mosdepth] up-to-date, skipped (resume)",
+                style="info")
+            ingest_done = True
+        else:
+            try:
+                with step_timer("fused_ingest_2_3", timer, console):
+                    counts_path, coverage_path, staged = run_fused_ingest(
+                        config_data, console
+                    )
+                config_data["_ingest_staged"] = staged
+                resume.mark("count_reads", config_data, [counts_path])
+                resume.mark("mosdepth", config_data, [coverage_path])
+                ingest_done = True
+            except Exception as e:
+                log(
+                    console,
+                    f"One-pass ingest failed ({e}); falling back to sequential steps 2-3",
+                    style="warning",
+                )
+    if not ingest_done:
+        gated(config_data.get("count_reads", {}), "count_reads", count_reads)
+        gated(config_data.get("mosdepth", {}), "mosdepth", compute_mosdepth)
 
     # grid_tpu addition: native IBS neighbor generation from a phased panel
     # (the reference requires an externally-prepared computeIBSpbwt file).

@@ -1,0 +1,174 @@
+"""Fused steps 2+3 (+ the staging scan): one native pass per sample.
+
+The reference runs three separate passes over every alignment file:
+pysam read counting (grid/utils/count_reads.py:82-107), the mosdepth
+binary (grid/utils/mosdepth.py:179-297), and then normalize's full re-scan
+of the bed.gz mosdepth just wrote (grid/utils/normalize_mosdepth.py:
+218-357). At 2,504 samples those passes are ~85% of pipeline wall-clock
+while the accelerator idles.
+
+This step replaces all three with ONE decompression pass per sample
+(native C++: grid_bam_ingest / grid_cram_ingest): the window read count,
+the window coverage integer, the genome-wide regions.bed.gz artifact
+(byte-identical to the separate-step output), and the staged window bins
+are all byproducts of the same scan. The staged bins are handed to the
+normalize stage in-process, so step 4 never re-reads the bed.gz.
+
+Artifact parity: read_counts TSV, coverage TSV, and every bed.gz are
+byte-identical to the sequential steps (tests/test_fused_ingest.py runs
+both modes and compares). Failure semantics match the sequential steps:
+a failing sample gets an "Error" row in the counts file and is dropped
+from coverage/staging with a logged warning.
+"""
+
+from __future__ import annotations
+
+from concurrent.futures import ThreadPoolExecutor, as_completed
+from pathlib import Path
+from threading import Lock
+
+import numpy as np
+
+from grid_tpu.ingest.alignments import find_file
+from grid_tpu.io.bed import norm_chrom, region_overlaps_mask
+from grid_tpu.io.formats import read_samples, setup_output_file
+from grid_tpu.steps.coverage import mosdepth_available, remove_intermediate_files
+from grid_tpu.utils.logging import log, progress_bar
+
+
+def fused_ingest_enabled(config) -> bool:
+    """True when the one-pass native ingest can replace steps 2+3.
+
+    Requirements: both steps gated on, a BAM/CRAM cohort, the native
+    library importable, and — in ``auto`` mode — the mosdepth binary absent
+    (when mosdepth IS on PATH the classic step 3 defers to it for
+    bit-level reference parity; ``device.fused_ingest: true`` overrides).
+    """
+    mode = str(config.get("device", {}).get("fused_ingest", "auto")).lower()
+    if mode == "false":
+        return False
+    if config.get("count_reads", {}).get("run") is not True:
+        return False
+    if config.get("mosdepth", {}).get("run") is not True:
+        return False
+    if str(config.get("file_type", "")).lower() not in ("bam", "cram"):
+        return False
+    if mode == "auto" and mosdepth_available():
+        return False
+    try:
+        from grid_tpu import native
+
+        native.lib()
+    except Exception:
+        return False
+    return True
+
+
+def _ingest_backend(path):
+    if str(path).endswith(".cram"):
+        from grid_tpu.native import cram as backend
+    else:
+        from grid_tpu.native import bam as backend
+    return backend
+
+
+def run_fused_ingest(config, console=None):
+    """One native pass per sample -> counts TSV + coverage TSV + bed.gz
+    artifacts + in-memory staged window bins.
+
+    Returns (counts_path, coverage_path, staged) where staged maps
+    sample id -> (starts, ends, depths) arrays with exactly the semantics
+    of read_regions_bed_gz(bed, chrom, start, end, excluded) on the file
+    this pass wrote (the repeat mask is applied here, per-bin, like the
+    file reader does per-line).
+    """
+    directory_loc = config["directory_loc"]
+    samples = read_samples(config["samples_file"])
+    chrom = config.get("chrom")
+    start = config.get("start_bp")
+    end = config.get("end_bp")
+    threads = config.get("threads", 1)
+    flags = config.get("count_reads", {}).get("flags", [])
+    count_min_mapq = config.get("min_mapq", 1)  # quirk Q3: top level
+
+    out_dir = config.get("output_dir", ".")
+    out_type = config.get("output_file_type", "tsv")
+    counts_path = setup_output_file(
+        Path(f"{out_dir}/{config.get('count_reads', {}).get('output_file_prefix')}.{out_type}"),
+        chrom, start, end,
+    )
+    mcfg = config.get("mosdepth", {})
+    coverage_path = setup_output_file(
+        Path(f"{out_dir}/{mcfg.get('output_file_prefix')}.{out_type}"),
+        chrom, start, end,
+    )
+    region_name = mcfg.get("region_name", "region")
+    by = int(mcfg.get("bin_size", 1000))
+    sparse_bed = bool(mcfg.get("sparse_bed", False))
+    work_dir = Path(mcfg.get("work_dir")).expanduser()
+    work_dir.mkdir(parents=True, exist_ok=True)
+
+    ncfg = mcfg.get("normalize", {})
+    repeat_mask = ncfg.get("repeat_mask_file")
+    from grid_tpu.io.bed import load_repeat_mask
+
+    excluded = load_repeat_mask(repeat_mask) if repeat_mask else {}
+
+    files = {
+        sample: result
+        for sample in samples
+        if (result := find_file(directory_loc, sample, config.get("file_type"))) is not None
+    }
+
+    write_lock = Lock()
+    staged: dict = {}
+    failed = []
+
+    def process(sample, path):
+        backend = _ingest_backend(path)
+        bed = work_dir / f"{Path(path).stem}_{region_name}.regions.bed.gz"
+        count, cov100, starts, ends, depths, refids = backend.ingest(
+            path, str(bed), chrom, start, end, flags, count_min_mapq,
+            bin_size=by, skip_zero=sparse_bed,
+        )
+        if excluded:
+            names = [norm_chrom(n) for n, _ in backend.references(path)]
+            keep = np.array([
+                not region_overlaps_mask(names[r], int(s), int(e), excluded)
+                for r, s, e in zip(refids, starts, ends)
+            ], dtype=bool) if len(refids) else np.ones(0, bool)
+            starts, ends, depths = starts[keep], ends[keep], depths[keep]
+        return count, cov100, (starts, ends, depths)
+
+    with progress_bar(console, total=len(files), description="Ingesting (one pass)") as (progress, task):
+        with ThreadPoolExecutor(max_workers=max(1, threads)) as executor:
+            futures = {
+                executor.submit(process, sample, path): sample
+                for sample, path in files.items()
+            }
+            for future in as_completed(futures):
+                sample = futures[future]
+                try:
+                    count, cov100, arrays = future.result()
+                except Exception as e:
+                    log(console, f"✗ {sample} ingest failed: {e}", style="danger")
+                    failed.append(sample)
+                    with write_lock, open(counts_path, "a") as f:
+                        f.write(f"{sample}\tError\n")
+                    progress.update(task, advance=1)
+                    continue
+                with write_lock:
+                    with open(counts_path, "a") as f:
+                        f.write(f"{sample}\t{count}\n")
+                    with open(coverage_path, "a", newline="") as f:
+                        f.write(f"{sample}\t{cov100}\n")
+                staged[sample] = arrays
+                progress.update(task, advance=1)
+
+    if mcfg.get("remove_intermediate", False):
+        remove_intermediate_files(work_dir, console)
+
+    log(console,
+        f"One-pass ingest complete: counts → {counts_path}, coverage → {coverage_path}",
+        style="success")
+    return counts_path, coverage_path, staged

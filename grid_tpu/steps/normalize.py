@@ -71,8 +71,21 @@ def normalize_mosdepth(config, console=None):
 
 def _stage(config, samples, chrom, start, end, excluded, min_depth, max_depth, threads, console):
     """Pick the staging strategy: config device.streaming_stage = auto|true|false.
-    'auto' streams for cohorts above 5000 samples (bounded-memory two-pass)."""
+    'auto' streams for cohorts above 5000 samples (bounded-memory two-pass).
+
+    When the one-pass ingest ran in this pipeline invocation
+    (steps/ingest.py), its in-memory window bins are handed over via the
+    private ``_ingest_staged`` key and the bed.gz files are never re-read
+    (they were written for artifact parity, not as a transport)."""
     from grid_tpu.io.staging import stage_cohort, stage_cohort_streaming
+
+    staged = config.get("_ingest_staged")
+    if staged is not None:
+        return stage_cohort(
+            config.get("mosdepth", {}).get("work_dir"), samples, chrom, start,
+            end, excluded, min_depth, max_depth, threads, console,
+            per_sample=staged,
+        )
 
     mode = str(config.get("device", {}).get("streaming_stage", "auto")).lower()
     use_stream = mode == "true" or (mode == "auto" and len(samples) > 5000)

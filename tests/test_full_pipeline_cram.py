@@ -32,13 +32,13 @@ def test_all_steps_ran(cram_run):
     _, timings = cram_run
     assert {
         "create_index",
-        "count_reads",
-        "mosdepth",
         "normalize",
         "neighbors",
         "compute_diploid_genotypes",
         "compute_haploid_genotypes",
     } <= set(timings)
+    # steps 2+3 run either separately or as the one-pass native ingest
+    assert {"count_reads", "mosdepth"} <= set(timings) or "fused_ingest_2_3" in timings
 
 
 def test_crai_indexes_created(cram_run):

@@ -1,0 +1,146 @@
+"""One-pass ingest (steps/ingest.py) parity vs the sequential steps 2+3.
+
+The fused native pass must be an invisible substitution: every artifact —
+read counts, coverage TSV, each regions.bed.gz, and everything downstream
+(normalized matrix, dipCN) — byte-identical to running count_reads +
+compute_mosdepth + the bed.gz re-scan separately."""
+
+import copy
+import gzip
+import shutil
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.skipif(shutil.which("g++") is None, reason="no C++ toolchain")
+
+
+def _native_or_skip():
+    try:
+        from grid_tpu import native
+
+        native.lib()
+    except Exception as e:  # pragma: no cover
+        pytest.skip(f"native build failed: {e}")
+
+
+def _run_both_modes(tmp_path, file_type, n_samples=6, seed=11, extra_cfg=None):
+    from grid_tpu.pipeline import run_wgs_pipeline
+    from grid_tpu.synth import make_synthetic_cohort_with_alignments
+
+    outs = {}
+    for mode in ("sequential", "fused"):
+        cohort = make_synthetic_cohort_with_alignments(
+            tmp_path / mode, n_samples=n_samples, seed=seed, file_type=file_type
+        )
+        cfg = copy.deepcopy(cohort["config"])
+        cfg.setdefault("device", {})["fused_ingest"] = (
+            "true" if mode == "fused" else "false"
+        )
+        for k, v in (extra_cfg or {}).items():
+            cfg[k] = copy.deepcopy(v) if isinstance(v, dict) else v
+        cfg["compute_haploid_genotypes"]["run"] = False
+        run_wgs_pipeline(console=None, config=cfg)
+        res = cohort["results_dir"]
+        work = Path(cfg["mosdepth"]["work_dir"])
+        outs[mode] = {
+            "counts": sorted((res / "read_counts.tsv").read_bytes().splitlines()),
+            "cov": sorted((res / "mosdepth_results.tsv").read_bytes().splitlines()),
+            "beds": {
+                b.name: gzip.open(b, "rb").read()
+                for b in sorted(work.glob("*.regions.bed.gz"))
+            },
+            "norm": gzip.open(res / "mosdepth_results_normalized.tsv.gz", "rb").read(),
+            "dip": (res / "diploid_genotypes.tsv").read_bytes(),
+        }
+    return outs
+
+
+@pytest.mark.parametrize("file_type", ["bam", "cram"])
+def test_fused_ingest_artifact_parity(tmp_path, file_type):
+    _native_or_skip()
+    outs = _run_both_modes(tmp_path, file_type)
+    seq, fus = outs["sequential"], outs["fused"]
+    assert seq["counts"] == fus["counts"]
+    assert seq["cov"] == fus["cov"]
+    assert set(seq["beds"]) == set(fus["beds"])
+    for name in seq["beds"]:
+        assert seq["beds"][name] == fus["beds"][name], f"bed differs: {name}"
+    assert seq["norm"] == fus["norm"]
+    assert seq["dip"] == fus["dip"]
+
+
+def test_fused_ingest_sparse_parity(tmp_path):
+    """sparse_bed + fused ingest: downstream artifacts still identical to
+    the dense sequential run."""
+    _native_or_skip()
+    outs = _run_both_modes(
+        tmp_path, "bam", seed=13, extra_cfg={}
+    )
+    # second pair: sparse fused vs dense sequential from the base run
+    from grid_tpu.pipeline import run_wgs_pipeline
+    from grid_tpu.synth import make_synthetic_cohort_with_alignments
+
+    cohort = make_synthetic_cohort_with_alignments(
+        tmp_path / "sparse_fused", n_samples=6, seed=13, file_type="bam"
+    )
+    cfg = copy.deepcopy(cohort["config"])
+    cfg.setdefault("device", {})["fused_ingest"] = "true"
+    cfg["mosdepth"]["sparse_bed"] = True
+    cfg["compute_haploid_genotypes"]["run"] = False
+    run_wgs_pipeline(console=None, config=cfg)
+    res = cohort["results_dir"]
+    assert sorted((res / "mosdepth_results.tsv").read_bytes().splitlines()) == outs[
+        "sequential"
+    ]["cov"]
+    assert (
+        gzip.open(res / "mosdepth_results_normalized.tsv.gz", "rb").read()
+        == outs["sequential"]["norm"]
+    )
+
+
+def test_ingest_staged_bins_match_file_reread(tmp_path):
+    """The in-process staged bins handed to the normalizer must equal a
+    read_regions_bed_gz re-read of the bed.gz the same pass wrote."""
+    _native_or_skip()
+    from grid_tpu.io.bed import read_regions_bed_gz
+    from grid_tpu.native import bam as nb
+    from grid_tpu.synth import make_synthetic_cohort_with_alignments
+
+    cohort = make_synthetic_cohort_with_alignments(tmp_path, n_samples=2, seed=3)
+    cfg = cohort["config"]
+    bam = sorted(Path(cfg["directory_loc"]).glob("*.bam"))[0]
+    bed = tmp_path / "t.regions.bed.gz"
+    chrom, start, end = cfg["chrom"], cfg["start_bp"], cfg["end_bp"]
+    _, _, starts, ends, depths, _ = nb.ingest(
+        bam, str(bed), chrom, start, end, [83, 147, 81, 145], 1, bin_size=1000
+    )
+    s2, e2, d2 = read_regions_bed_gz(bed, chrom, start, end, {})
+    np.testing.assert_array_equal(starts, s2)
+    np.testing.assert_array_equal(ends, e2)
+    np.testing.assert_array_equal(depths, d2)
+
+
+def test_fused_ingest_error_row_for_bad_sample(tmp_path):
+    """A corrupt alignment file yields an Error counts row and the cohort
+    continues (reference per-sample failure semantics)."""
+    _native_or_skip()
+    from grid_tpu.pipeline import run_wgs_pipeline
+    from grid_tpu.synth import make_synthetic_cohort_with_alignments
+
+    cohort = make_synthetic_cohort_with_alignments(tmp_path, n_samples=4, seed=5)
+    cfg = copy.deepcopy(cohort["config"])
+    # corrupt one sample's BAM
+    victim = sorted(Path(cfg["directory_loc"]).glob("*.bam"))[1]
+    victim.write_bytes(b"not a bam at all")
+    cfg.setdefault("device", {})["fused_ingest"] = "true"
+    cfg["compute_haploid_genotypes"]["run"] = False
+    run_wgs_pipeline(console=None, config=cfg)
+    res = cohort["results_dir"]
+    lines = (res / "read_counts.tsv").read_text().splitlines()
+    errors = [ln for ln in lines if ln.endswith("\tError")]
+    assert len(errors) == 1
+    # pipeline still produced dipCN for the healthy samples
+    dip = (res / "diploid_genotypes.tsv").read_text().splitlines()
+    assert len(dip) == 4  # header + 3 healthy samples

@@ -1,6 +1,7 @@
 """kNN op tests: self-exclusion, squared distances, region filter parity."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from grid_tpu.ops import filter_regions_by_variance, region_filter_mask, prepare_z, knn_squared
@@ -215,3 +216,80 @@ def test_dipcn_from_distances_no_usable_neighbors(rng):
         jnp.asarray(usable), jnp.ones(n, bool), 5, 3,
     )
     assert not np.asarray(val).any()
+
+
+class TestPanelDipcn:
+    """dipcn_from_distances_panels must be exactly dipcn_from_distances
+    without the resident [N, N] matrix (the large-N gather-free path)."""
+
+    def _setup(self, n=97, r=16, seed=0, quantize=True):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        zp = rng.normal(size=(n, r)).astype(np.float32)
+        if quantize:  # 2-decimal z values force exact distance ties
+            zp = np.round(zp * 4) / 4
+        rnorm = rng.uniform(0.5, 2.0, n).astype(np.float32)
+        usable = rng.random(n) > 0.2
+        row_valid = rng.random(n) > 0.1
+        return zp, rnorm, usable, row_valid
+
+    @pytest.mark.parametrize("row_block", [16, 31, 97, 512])
+    def test_matches_resident(self, row_block):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from grid_tpu.ops.knn import d2_matrix
+        from grid_tpu.ops.select import (
+            dipcn_from_distances,
+            dipcn_from_distances_panels,
+        )
+
+        zp, rnorm, usable, row_valid = self._setup()
+        k, n_nbr = 20, 7
+        d2 = d2_matrix(jnp.asarray(zp), row_valid=jnp.asarray(row_valid))
+        want, want_ok = dipcn_from_distances(
+            d2, jnp.asarray(rnorm), jnp.asarray(rnorm), jnp.asarray(usable),
+            jnp.asarray(usable), k=k, n_nbr=n_nbr,
+        )
+        got, got_ok = dipcn_from_distances_panels(
+            jnp.asarray(zp), jnp.asarray(rnorm), jnp.asarray(rnorm),
+            jnp.asarray(usable), jnp.asarray(usable),
+            k=k, n_nbr=n_nbr, row_block=row_block,
+            row_valid=jnp.asarray(row_valid),
+        )
+        np.testing.assert_array_equal(np.asarray(want_ok), np.asarray(got_ok))
+        ok = np.asarray(want_ok)
+        np.testing.assert_allclose(
+            np.asarray(want)[ok], np.asarray(got)[ok], rtol=0, atol=0
+        )
+
+    def test_matches_gather_formulation(self):
+        """Panels vs the k-list gather formulation (the semantics contract:
+        'first n_nbr usable of the k nearest, stable ties')."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from grid_tpu.ops.dipcn import compute_dipcn
+        from grid_tpu.ops.knn import d2_matrix
+        from grid_tpu.ops.select import dipcn_from_distances_panels, sorted_smallest_k
+
+        zp, rnorm, usable, row_valid = self._setup(n=64, seed=3)
+        k, n_nbr = 15, 5
+        d2 = d2_matrix(jnp.asarray(zp), row_valid=jnp.asarray(row_valid))
+        _, idx = sorted_smallest_k(d2, k)
+        idx = np.asarray(idx)
+        want, want_ok = compute_dipcn(
+            jnp.asarray(rnorm), jnp.asarray(usable),
+            jnp.asarray(rnorm)[idx], jnp.asarray(usable)[idx], n_nbr=n_nbr,
+        )
+        got, got_ok = dipcn_from_distances_panels(
+            jnp.asarray(zp), jnp.asarray(rnorm), jnp.asarray(rnorm),
+            jnp.asarray(usable), jnp.asarray(usable),
+            k=k, n_nbr=n_nbr, row_block=17, row_valid=jnp.asarray(row_valid),
+        )
+        ok = np.asarray(want_ok)
+        np.testing.assert_array_equal(ok, np.asarray(got_ok))
+        np.testing.assert_allclose(
+            np.asarray(want)[ok], np.asarray(got)[ok], rtol=1e-6
+        )

@@ -221,3 +221,34 @@ class TestDispatchPolicy:
         )
         run_wgs_pipeline(console=None, config=cfg)
         assert (tmp_path / "results" / "diploid_genotypes.tsv").exists()
+
+
+def test_ring_knn_payload_carry():
+    """Payloads carried through the ring must equal gathering the payload
+    vector at the returned neighbor indices — the gather-free dipCN
+    contract for the sharded path."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from grid_tpu.parallel import cohort_mesh
+    from grid_tpu.parallel.pknn import ring_knn
+
+    mesh = cohort_mesh(8)
+    n, r, k = 64, 12, 9
+    rng = np.random.default_rng(7)
+    z = np.round(rng.normal(size=(n, r)).astype(np.float32) * 4) / 4
+    w = rng.uniform(0.1, 3.0, n).astype(np.float32)
+    usable = rng.random(n) > 0.25
+    valid = np.ones(n, bool)
+    valid[-3:] = False  # padding rows
+
+    d, idx, cw, cu = ring_knn(
+        jnp.asarray(z), k, mesh, row_valid=jnp.asarray(valid),
+        payloads=(jnp.asarray(w), jnp.asarray(usable)),
+    )
+    d, idx, cw, cu = map(np.asarray, (d, idx, cw, cu))
+    np.testing.assert_array_equal(cw, w[idx])
+    np.testing.assert_array_equal(cu, usable[idx])
+    # and no invalid row ever appears as a neighbor
+    assert valid[idx].all()
