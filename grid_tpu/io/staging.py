@@ -153,6 +153,7 @@ def stage_cohort(
     max_depth: float,
     threads: int = 1,
     console=None,
+    per_sample=None,
 ) -> CohortStage:
     """Full staging: map files, single scan, population-mean region filter,
     dense matrix build. Mirrors the reference's region/sample semantics:
@@ -162,14 +163,23 @@ def stage_cohort(
     - samples with zero surviving regions dropped with a warning
       (filter_empty_samples, :576-600);
     - rows sorted by sample ID, columns by (start, end).
-    """
-    sample_to_bed = map_bed_gz_to_samples(mosdepth_dir, samples)
-    if not sample_to_bed:
-        raise FileNotFoundError(f"No mosdepth files found in {mosdepth_dir}")
 
-    per_sample = scan_cohort_regions(
-        sample_to_bed, chromosome, start, end, excluded, threads, console
-    )
+    ``per_sample``: pre-scanned {sample: (starts, ends, depths)} arrays
+    (already window/mask/depth-filtered — the fused one-pass ingest hands
+    them over in-process, steps/ingest.py), bypassing the bed.gz re-scan.
+    """
+    if per_sample is not None:
+        per_sample = {
+            sid: _dedupe_last_wins(*arrays) for sid, arrays in per_sample.items()
+        }
+    else:
+        sample_to_bed = map_bed_gz_to_samples(mosdepth_dir, samples)
+        if not sample_to_bed:
+            raise FileNotFoundError(f"No mosdepth files found in {mosdepth_dir}")
+
+        per_sample = scan_cohort_regions(
+            sample_to_bed, chromosome, start, end, excluded, threads, console
+        )
 
     uniq_regions, pop_means = population_mean_depths(per_sample)
     keep = (pop_means >= min_depth) & (pop_means <= max_depth)
@@ -344,6 +354,91 @@ def _sample_keys(chrom_ids: dict, segments):
     return keys[keep], depths[keep], ends[keep]
 
 
+def _allgather_bytes(blob: bytes) -> list[bytes]:
+    """All-gather a variable-length byte string across jax processes
+    (pad-to-max over a uint8 allgather). Returns one bytes per process, in
+    process order."""
+    import jax
+    from jax.experimental import multihost_utils as mhu
+
+    n_proc = jax.process_count()
+    lens = np.asarray(
+        mhu.process_allgather(np.array([len(blob)], np.int64))
+    ).reshape(n_proc)
+    maxlen = max(int(lens.max()), 1)
+    buf = np.zeros(maxlen, np.uint8)
+    buf[: len(blob)] = np.frombuffer(blob, np.uint8)
+    bufs = np.asarray(mhu.process_allgather(buf)).reshape(n_proc, maxlen)
+    return [bufs[p, : int(lens[p])].tobytes() for p in range(n_proc)]
+
+
+def _merge_accums_across_processes(chrom_ids, accum):
+    """Multi-host pass-1 merge: union the chromosome-name universe and the
+    per-region (sum, count, end) accumulators across all jax processes, so
+    every process derives the IDENTICAL region universe even though each
+    scanned only its own samples.
+
+    Returns (global_chrom_names_sorted, keys, sums, counts, ends) with keys
+    re-encoded against the global chrom ranks."""
+    import jax
+
+    n_proc = jax.process_count()
+
+    # 1) union of chromosome names
+    local_names = sorted(chrom_ids, key=str)
+    blobs = _allgather_bytes("\n".join(local_names).encode())
+    all_names: set = set()
+    for b in blobs:
+        if b:
+            all_names.update(b.decode().split("\n"))
+    global_names = sorted(all_names, key=str)
+    gid = {name: i for i, name in enumerate(global_names)}
+
+    # 2) re-encode local keys onto global chrom ids
+    if len(chrom_ids):
+        remap = np.zeros(len(chrom_ids), np.uint64)
+        for name, local_id in chrom_ids.items():
+            remap[local_id] = np.uint64(gid[name])
+        cid = (accum.keys >> np.uint64(32)).astype(np.int64)
+        keys = (remap[cid] << np.uint64(32)) | (accum.keys & np.uint64(0xFFFFFFFF))
+    else:
+        keys = accum.keys
+
+    # 3) gather + merge the accumulator arrays
+    payload = np.concatenate([
+        keys.view(np.float64),  # bit-transport as f64 (same width)
+        accum.sums,
+        accum.counts.astype(np.float64),
+        accum.ends.astype(np.float64),
+    ]).tobytes()
+    blobs = _allgather_bytes(payload)
+    k_l, s_l, c_l, e_l = [], [], [], []
+    for b in blobs:
+        arr = np.frombuffer(b, np.float64)
+        m = len(arr) // 4
+        k_l.append(arr[:m].view(np.uint64).copy())
+        s_l.append(arr[m : 2 * m].copy())
+        c_l.append(arr[2 * m : 3 * m].astype(np.int64))
+        e_l.append(arr[3 * m : 4 * m].astype(np.int64))
+    ak = np.concatenate(k_l)
+    uk, inv = np.unique(ak, return_inverse=True)
+    sums = np.zeros(len(uk))
+    counts = np.zeros(len(uk), np.int64)
+    ends = np.full(len(uk), -1, np.int64)
+    np.add.at(sums, inv, np.concatenate(s_l))
+    np.add.at(counts, inv, np.concatenate(c_l))
+    ae = np.concatenate(e_l)
+    for i, j in enumerate(inv):  # end consistency across processes
+        if ends[j] < 0:
+            ends[j] = ae[i]
+        elif ends[j] != ae[i]:
+            raise ValueError(
+                "stage_cohort_sharded: processes disagree on a region's end"
+                " — irregular grids with duplicate starts are not supported."
+            )
+    return global_names, uk, sums, counts, ends
+
+
 def stage_cohort_sharded(
     source,
     mesh,
@@ -354,7 +449,7 @@ def stage_cohort_sharded(
     console=None,
 ) -> ShardedCohortStage:
     """Bounded-memory staging straight onto a device mesh: multi-chromosome,
-    irregular grids, any N.
+    irregular grids, any N — single-process or multi-host.
 
     Two passes over the samples, like the reference's own two-pass design
     (grid/utils/normalize_mosdepth.py:218-357) but with O(R) accumulators
@@ -366,6 +461,20 @@ def stage_cohort_sharded(
     - pass 2 streams again, filling one [rows_per_shard, R] host buffer at a
       time and ``jax.device_put``-ing it to its shard's device (transfers
       overlap the next shard's scan — device_put is asynchronous).
+
+    MULTI-HOST (jax.process_count() > 1): ``source`` must yield each
+    process's OWN (disjoint) samples — typically the shards of the cohort
+    that live on that host's filesystem. Pass-1 accumulators and the
+    chromosome universe are all-gathered and merged so every process
+    derives the identical region universe; pass 2 fills ONLY the shards on
+    this process's addressable devices (a process never device_puts to a
+    remote device), and the global array is assembled with
+    ``jax.make_array_from_single_device_arrays``. Global row order is
+    process-segmented: process p's samples occupy its local devices' rows,
+    each process padded independently to its shard boundary (``row_valid``
+    marks the interleaved padding; ``sample_ids`` is the gathered global
+    list in that row order with padding removed). Requires the mesh device
+    order to be process-contiguous (the ``jax.devices()`` default).
 
     Args:
         source: callable returning a FRESH iterator of
@@ -385,7 +494,10 @@ def stage_cohort_sharded(
 
     from grid_tpu.parallel.mesh import cohort_sharding
 
-    # ---- pass 1: population accumulation --------------------------------
+    n_proc = jax.process_count()
+    my_proc = jax.process_index()
+
+    # ---- pass 1: population accumulation (local samples) -----------------
     chrom_ids: dict[str, int] = {}
     accum = _PopulationAccum()
     sample_ids: list = []
@@ -395,47 +507,89 @@ def stage_cohort_sharded(
         if len(keys):
             accum.add(keys, depths, ends)
     accum.flush()
-    if len(accum.keys) == 0:
+
+    if n_proc > 1:
+        chroms_sorted, all_keys, sums, counts, ends_arr = (
+            _merge_accums_across_processes(chrom_ids, accum)
+        )
+        rank_of = {name: i for i, name in enumerate(chroms_sorted)}
+    else:
+        chroms_sorted = sorted(chrom_ids, key=str)
+        all_keys, sums, counts, ends_arr = (
+            accum.keys, accum.sums, accum.counts, accum.ends
+        )
+        rank_of = {name: i for i, name in enumerate(chroms_sorted)}
+        rank_of_cid = np.empty(max(len(chrom_ids), 1), np.int64)
+        for name, local_id in chrom_ids.items():
+            rank_of_cid[local_id] = rank_of[name]
+        # single-process keys are still encoded on local cids; re-encode on
+        # chrom ranks so both paths share the layout below
+        if len(all_keys):
+            cid = (all_keys >> np.uint64(32)).astype(np.int64)
+            all_keys = (
+                rank_of_cid[cid].astype(np.uint64) << np.uint64(32)
+            ) | (all_keys & np.uint64(0xFFFFFFFF))
+
+    if len(all_keys) == 0:
         raise ValueError("No valid samples with regions found.")
 
     with np.errstate(invalid="ignore"):
-        means = accum.sums / np.maximum(accum.counts, 1)
-    keep = (accum.counts > 0) & (means >= min_depth) & (means <= max_depth)
-    kept_keys = accum.keys[keep]
-    kept_ends = accum.ends[keep]
+        means = sums / np.maximum(counts, 1)
+    keep = (counts > 0) & (means >= min_depth) & (means <= max_depth)
+    kept_keys = all_keys[keep]
+    kept_ends = ends_arr[keep]
 
-    # column order: (chromosome name, start) ascending
-    cid_of = (kept_keys >> np.uint64(32)).astype(np.int64)
-    start_of = (kept_keys & np.uint64(0xFFFFFFFF)).astype(np.int64)
-    chroms_sorted = sorted(chrom_ids, key=str)
-    rank_of_cid = np.empty(len(chrom_ids), np.int64)
-    for rank, name in enumerate(chroms_sorted):
-        rank_of_cid[chrom_ids[name]] = rank
-    order = np.lexsort((start_of, rank_of_cid[cid_of]))
+    # column order: (chromosome rank, start) ascending — keys are already
+    # rank-encoded, so a plain sort is the (chrom, start) lexsort
+    order = np.argsort(kept_keys, kind="stable")
     kept_keys = kept_keys[order]
     regions = np.stack(
-        [rank_of_cid[cid_of[order]], start_of[order], kept_ends[order]], axis=1
+        [
+            (kept_keys >> np.uint64(32)).astype(np.int64),
+            (kept_keys & np.uint64(0xFFFFFFFF)).astype(np.int64),
+            kept_ends[order],
+        ],
+        axis=1,
     )
-    # remap composite keys to the final chrom-rank ids for pass-2 lookups
-    lookup_keys = (
-        (regions[:, 0].astype(np.uint64) << np.uint64(32))
-        | regions[:, 1].astype(np.uint64)
-    )
-    sort_back = np.argsort(lookup_keys, kind="stable")
-    lookup_sorted = lookup_keys[sort_back]
+    lookup_sorted = kept_keys  # already sorted ascending
+    sort_back = np.arange(len(kept_keys))
     r = len(regions)
 
-    n = len(sample_ids)
-    n_dev = int(mesh.devices.size)
-    rows_per = -(-n // n_dev)
-    n_pad = rows_per * n_dev
-    row_valid_host = np.zeros(n_pad, bool)
-
-    # ---- pass 2: per-shard fill + direct device placement ----------------
+    # ---- global row layout ------------------------------------------------
     devices = list(mesh.devices.flat)
-    val_shards, mask_shards = [], []
+    local_dev_idx = [
+        d for d, dev in enumerate(devices) if dev.process_index == my_proc
+    ]
+    if n_proc > 1:
+        procs = [dev.process_index for dev in devices]
+        if procs != sorted(procs):  # process-contiguity requirement
+            raise ValueError(
+                "stage_cohort_sharded: mesh devices must be ordered by"
+                " process index (jax.devices() order)"
+            )
+        from jax.experimental import multihost_utils as mhu
+
+        n_local = len(sample_ids)
+        n_locals = np.asarray(
+            mhu.process_allgather(np.array([n_local], np.int64))
+        ).reshape(n_proc)
+        d_locals = np.asarray(
+            mhu.process_allgather(np.array([len(local_dev_idx)], np.int64))
+        ).reshape(n_proc)
+        # every shard must hold the same row count: the max per-device load
+        rows_per = int(max(-(-int(n_locals[p]) // max(int(d_locals[p]), 1))
+                           for p in range(n_proc)))
+        rows_per = max(rows_per, 1)
+        n = int(n_locals.sum())
+    else:
+        rows_per = -(-len(sample_ids) // len(devices))
+        n = len(sample_ids)
+    n_dev = len(devices)
+    n_pad = rows_per * n_dev
+
+    # ---- pass 2: fill ONLY this process's shards -------------------------
+    rank_by_name = rank_of
     it = source()
-    rank_by_name = {name: i for i, name in enumerate(chroms_sorted)}
 
     def _fill_row(vbuf, mbuf, local_i, segments):
         keys, depths, _ = _sample_keys_ranked(rank_by_name, segments)
@@ -448,36 +602,44 @@ def stage_cohort_sharded(
         vbuf[local_i, cols] = depths[hit]
         mbuf[local_i, cols] = True
 
-    done = 0
-    for d in range(n_dev):
+    val_shards, mask_shards, rv_shards = [], [], []
+    local_valid: list[bool] = []
+    for d in local_dev_idx:
         vbuf = np.zeros((rows_per, r), dtype=dtype)
         mbuf = np.zeros((rows_per, r), dtype=bool)
+        rvbuf = np.zeros(rows_per, bool)
         local = 0
-        while local < rows_per and done < n:
+        while local < rows_per:
             try:
                 sid, segments = next(it)
             except StopIteration:
                 break
             _fill_row(vbuf, mbuf, local, segments)
-            row_valid_host[done] = bool(mbuf[local].any())
+            rvbuf[local] = bool(mbuf[local].any())
+            local_valid.append(bool(rvbuf[local]))
             local += 1
-            done += 1
         val_shards.append(jax.device_put(vbuf, devices[d]))
         mask_shards.append(jax.device_put(mbuf, devices[d]))
+        rv_shards.append(jax.device_put(rvbuf, devices[d]))
 
     s2 = cohort_sharding(mesh, 2)
     s1 = cohort_sharding(mesh, 1)
     values = jax.make_array_from_single_device_arrays((n_pad, r), s2, val_shards)
     mask_arr = jax.make_array_from_single_device_arrays((n_pad, r), s2, mask_shards)
-    rv_shards = [
-        jax.device_put(row_valid_host[d * rows_per:(d + 1) * rows_per], devices[d])
-        for d in range(n_dev)
-    ]
     row_valid = jax.make_array_from_single_device_arrays((n_pad,), s1, rv_shards)
 
-    n_empty = n - int(row_valid_host.sum())
+    if n_proc > 1:
+        # global sample-id list in row order (padding removed)
+        blobs = _allgather_bytes("\n".join(sample_ids).encode())
+        sample_ids = []
+        for b in blobs:
+            if b:
+                sample_ids.extend(b.decode().split("\n"))
+
+    n_empty = sum(1 for v in local_valid if not v)
     if n_empty:
-        log(console, f"{n_empty} samples have 0 surviving regions", style="warning")
+        log(console, f"{n_empty} local samples have 0 surviving regions",
+            style="warning")
     return ShardedCohortStage(
         sample_ids=sample_ids,
         chroms=chroms_sorted,
