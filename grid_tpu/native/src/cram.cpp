@@ -17,6 +17,9 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <dlfcn.h>
+#include <lzma.h>
+
 #include <map>
 #include <set>
 #include <string>
@@ -258,6 +261,50 @@ bool rans_decode(const uint8_t* src, size_t n, std::vector<uint8_t>& out) {
 // ----------------------------------------------------------------- blocks
 
 enum { M_RAW = 0, M_GZIP = 1, M_BZIP2 = 2, M_LZMA = 3, M_RANS = 4 };
+
+// xz-container LZMA block decode via liblzma (htslib writes CRAM LZMA
+// blocks as xz streams; so does Python's lzma.compress default).
+bool lzma_buf(const uint8_t* in, size_t in_len, std::vector<uint8_t>& out,
+              int32_t raw_size) {
+  out.resize((size_t)raw_size);
+  uint64_t memlimit = UINT64_MAX;
+  size_t in_pos = 0, out_pos = 0;
+  lzma_ret rc = lzma_stream_buffer_decode(&memlimit, 0, nullptr, in, &in_pos,
+                                          in_len, out.data(), &out_pos,
+                                          out.size());
+  if (rc != LZMA_OK) return false;
+  out.resize(out_pos);
+  return true;
+}
+
+// bzip2 block decode via a runtime-loaded libbz2.so.1 (this toolchain has
+// the runtime library but no dev package, so the one function needed is
+// declared here and resolved with dlopen — absent library => decode fails
+// and the caller falls back to the Python reader, which carries its own
+// bz2 implementation).
+typedef int (*bz2_decomp_fn)(char*, unsigned*, char*, unsigned, int, int);
+
+bz2_decomp_fn load_bz2() {
+  static bz2_decomp_fn fn = [] {
+    void* h = dlopen("libbz2.so.1", RTLD_NOW | RTLD_GLOBAL);
+    if (!h) h = dlopen("libbz2.so", RTLD_NOW | RTLD_GLOBAL);
+    return h ? (bz2_decomp_fn)dlsym(h, "BZ2_bzBuffToBuffDecompress")
+             : (bz2_decomp_fn) nullptr;
+  }();
+  return fn;
+}
+
+bool bzip2_buf(const uint8_t* in, size_t in_len, std::vector<uint8_t>& out,
+               int32_t raw_size) {
+  bz2_decomp_fn fn = load_bz2();
+  if (!fn) return false;
+  out.resize((size_t)raw_size);
+  unsigned out_len = (unsigned)out.size();
+  int rc = fn((char*)out.data(), &out_len, (char*)in, (unsigned)in_len, 0, 0);
+  if (rc != 0) return false;
+  out.resize(out_len);
+  return true;
+}
 enum {
   CT_FILE_HEADER = 0,
   CT_COMP_HEADER = 1,
@@ -294,8 +341,14 @@ bool read_block(Cursor& c, Block* b) {
     case M_RANS:
       if (!rans_decode(payload, comp_size, b->data)) return false;
       break;
+    case M_BZIP2:
+      if (!bzip2_buf(payload, comp_size, b->data, raw_size)) return false;
+      break;
+    case M_LZMA:
+      if (!lzma_buf(payload, comp_size, b->data, raw_size)) return false;
+      break;
     default:
-      return false;  // bzip2/lzma: fall back to the Python reader
+      return false;
   }
   return (int32_t)b->data.size() == raw_size;
 }
