@@ -126,6 +126,28 @@ def run_tpu_single(args):
     d, i = knn_squared(z, args.k, row_block=512)
     _sync(d)
     report["knn_s"] = round(time.perf_counter() - t0, 2)
+
+    # step-6 beyond the d2 budget: the r3 gather-free row-panel form vs the
+    # [N, k] gather formulation it replaces (same process, same data)
+    from grid_tpu.ops.dipcn import compute_dipcn
+    from grid_tpu.ops.select import dipcn_from_distances_panels
+
+    w = jnp.asarray(rng.uniform(0.5, 2.0, args.n).astype(np.float32))
+    ok = jnp.ones(args.n, bool)
+    t0 = time.perf_counter()
+    dip_p, _ = dipcn_from_distances_panels(
+        z, w, w, ok, ok, k=args.k, n_nbr=min(300, args.k), row_block=512
+    )
+    _sync(dip_p)
+    report["dipcn_panels_s"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    dip_g, _ = compute_dipcn(w, ok, w[i], ok[i], n_nbr=min(300, args.k))
+    _sync(dip_g)
+    report["dipcn_gather_s"] = round(time.perf_counter() - t0, 2)
+    report["dipcn_agree"] = round(
+        float(np.nanmax(np.abs(np.asarray(dip_p) - np.asarray(dip_g)))), 8
+    )
     report["peak_rss_gb"] = round(peak_rss_gb(), 2)
     print(json.dumps(report), flush=True)
 
