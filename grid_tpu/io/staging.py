@@ -243,6 +243,10 @@ class ShardedCohortStage(NamedTuple):
         values / mask / row_valid: device arrays with cohort sharding
             ([N_pad, R] dtype, [N_pad, R] bool, [N_pad] bool).
         n: real (unpadded) row count.
+        sample_rows: [N] int64 — the global row index of sample_ids[i].
+            THE authoritative sample<->row mapping: do NOT reconstruct it
+            from row_valid, which is False both for padding rows AND for
+            real samples whose regions all failed the depth filter.
     """
 
     sample_ids: list
@@ -252,6 +256,7 @@ class ShardedCohortStage(NamedTuple):
     mask: object
     row_valid: object
     n: int
+    sample_rows: np.ndarray
 
 
 class _PopulationAccum:
@@ -307,6 +312,20 @@ class _PopulationAccum:
         pk = np.concatenate(self._pk)
         pd = np.concatenate(self._pd)
         pe = np.concatenate(self._pe)
+        # end consistency across the merge: add() only guards hits against
+        # the existing universe; duplicate keys INSIDE the pending window
+        # (or between pending and existing) must agree on end too, or two
+        # distinct regions would silently merge here
+        keys_all = np.concatenate([self.keys, pk])
+        ends_all = np.concatenate([self.ends, pe])
+        order = np.argsort(keys_all, kind="stable")
+        same = keys_all[order][1:] == keys_all[order][:-1]
+        if (ends_all[order][1:][same] != ends_all[order][:-1][same]).any():
+            raise ValueError(
+                "stage_cohort_sharded: two regions share a (chrom, start)"
+                " but differ in end — irregular grids with duplicate"
+                " starts are not representable here; use stage_cohort."
+            )
         uk, inv = np.unique(np.concatenate([self.keys, pk]), return_inverse=True)
         sums = np.zeros(len(uk))
         counts = np.zeros(len(uk), np.int64)
@@ -424,19 +443,21 @@ def _merge_accums_across_processes(chrom_ids, accum):
     uk, inv = np.unique(ak, return_inverse=True)
     sums = np.zeros(len(uk))
     counts = np.zeros(len(uk), np.int64)
-    ends = np.full(len(uk), -1, np.int64)
     np.add.at(sums, inv, np.concatenate(s_l))
     np.add.at(counts, inv, np.concatenate(c_l))
     ae = np.concatenate(e_l)
-    for i, j in enumerate(inv):  # end consistency across processes
-        if ends[j] < 0:
-            ends[j] = ae[i]
-        elif ends[j] != ae[i]:
-            raise ValueError(
-                "stage_cohort_sharded: processes disagree on a region's end"
-                " — irregular grids with duplicate starts are not supported."
-            )
-    return global_names, uk, sums, counts, ends
+    # vectorized end-consistency across processes (a Python loop here costs
+    # minutes at genome-wide region counts)
+    emin = np.full(len(uk), np.iinfo(np.int64).max, np.int64)
+    emax = np.full(len(uk), -1, np.int64)
+    np.minimum.at(emin, inv, ae)
+    np.maximum.at(emax, inv, ae)
+    if (emin != emax).any():
+        raise ValueError(
+            "stage_cohort_sharded: processes disagree on a region's end"
+            " — irregular grids with duplicate starts are not supported."
+        )
+    return global_names, uk, sums, counts, emax
 
 
 def stage_cohort_sharded(
@@ -567,6 +588,12 @@ def stage_cohort_sharded(
                 "stage_cohort_sharded: mesh devices must be ordered by"
                 " process index (jax.devices() order)"
             )
+        if sample_ids and not local_dev_idx:
+            raise ValueError(
+                "stage_cohort_sharded: this process yielded samples but owns"
+                " no devices in the mesh — on multi-host, every"
+                " sample-holding process must contribute addressable devices"
+            )
         from jax.experimental import multihost_utils as mhu
 
         n_local = len(sample_ids)
@@ -629,12 +656,27 @@ def stage_cohort_sharded(
     row_valid = jax.make_array_from_single_device_arrays((n_pad,), s1, rv_shards)
 
     if n_proc > 1:
-        # global sample-id list in row order (padding removed)
+        # global sample-id list in row order (padding removed), and the
+        # authoritative sample->row mapping: each process's local samples
+        # occupy a CONTIGUOUS global row range starting at its first local
+        # device's rows (devices are process-contiguous, asserted above)
+        local_offset = local_dev_idx[0] * rows_per if local_dev_idx else 0
         blobs = _allgather_bytes("\n".join(sample_ids).encode())
+        offs = np.asarray(
+            mhu.process_allgather(np.array([local_offset], np.int64))
+        ).reshape(n_proc)
         sample_ids = []
-        for b in blobs:
+        rows_l = []
+        for p, b in enumerate(blobs):
             if b:
-                sample_ids.extend(b.decode().split("\n"))
+                ids_p = b.decode().split("\n")
+                sample_ids.extend(ids_p)
+                rows_l.append(offs[p] + np.arange(len(ids_p), dtype=np.int64))
+        sample_rows = (
+            np.concatenate(rows_l) if rows_l else np.empty(0, np.int64)
+        )
+    else:
+        sample_rows = np.arange(n, dtype=np.int64)
 
     n_empty = sum(1 for v in local_valid if not v)
     if n_empty:
@@ -648,6 +690,7 @@ def stage_cohort_sharded(
         mask=mask_arr,
         row_valid=row_valid,
         n=n,
+        sample_rows=sample_rows,
     )
 
 

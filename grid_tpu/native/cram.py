@@ -119,66 +119,18 @@ def dump_records(path, cap=1_000_000):
 def ingest(path, out_bed_gz, chrom, start, end, flags, count_min_mapq=1,
            bin_size=1000, exclude_flags=1796, bin_min_mapq=0,
            skip_zero=False, stage_chrom_prefix=None):
-    """Fused one-pass ingest for CRAM — twin of grid_tpu.native.bam.ingest
-    (C side: grid_cram_ingest in src/cram.cpp). Same return contract."""
-    import ctypes as _ct
+    """Fused one-pass ingest for CRAM (C side: grid_cram_ingest; semantics and
+    per-output parity contracts documented in src/bam.cpp). Returns
+    (count, cov100, starts, ends, depths, refids): the step-2 window read
+    count, the step-3 coverage int, and the staged window bins (depth > 0,
+    rounded-as-written; refids index into ``references(path)``)."""
+    from grid_tpu.native._ingest import ingest_call
 
-    import numpy as np
-
-    l = lib()
-    if not hasattr(l.grid_cram_ingest, "_configured"):
-        l.grid_cram_ingest.restype = _ct.c_int
-        l.grid_cram_ingest.argtypes = [
-            _ct.c_char_p, _ct.c_char_p, _ct.c_int32, _ct.c_int32, _ct.c_int32,
-            _ct.c_int32, _ct.c_char_p, _ct.c_int64, _ct.c_int64,
-            _ct.POINTER(_ct.c_int32), _ct.c_int32, _ct.c_int32, _ct.c_char_p,
-            _ct.POINTER(_ct.c_int64), _ct.POINTER(_ct.c_int64),
-            _ct.POINTER(_ct.c_int32), _ct.POINTER(_ct.c_int64),
-            _ct.POINTER(_ct.c_int64), _ct.POINTER(_ct.c_double),
-            _ct.c_int64, _ct.POINTER(_ct.c_int64),
-        ]
-        l.grid_cram_ingest._configured = True
-
-    flag_list = sorted(int(f) for f in flags)
-    arr = (_ct.c_int32 * max(len(flag_list), 1))(*(flag_list or [0]))
-    prefix = stage_chrom_prefix
-    if prefix is None:
-        c = str(chrom)
-        prefix = c if c.startswith("chr") else f"chr{c}"
-
-    cap = 4 * ((int(end) - int(start)) // int(bin_size) + 2) + 1024
-    for _ in range(3):
-        refids = np.empty(cap, np.int32)
-        starts = np.empty(cap, np.int64)
-        ends = np.empty(cap, np.int64)
-        depths = np.empty(cap, np.float64)
-        count = _ct.c_int64(0)
-        cov100 = _ct.c_int64(0)
-        nbins = _ct.c_int64(0)
-        rc = l.grid_cram_ingest(
-            str(path).encode(), str(out_bed_gz).encode() if out_bed_gz else b"",
-            int(bin_size), int(exclude_flags), int(bin_min_mapq),
-            int(bool(skip_zero)), str(chrom).encode(), int(start), int(end),
-            arr, len(flag_list), int(count_min_mapq), prefix.encode(),
-            _ct.byref(count), _ct.byref(cov100),
-            refids.ctypes.data_as(_ct.POINTER(_ct.c_int32)),
-            starts.ctypes.data_as(_ct.POINTER(_ct.c_int64)),
-            ends.ctypes.data_as(_ct.POINTER(_ct.c_int64)),
-            depths.ctypes.data_as(_ct.POINTER(_ct.c_double)),
-            cap, _ct.byref(nbins),
-        )
-        if rc == -5:
-            cap = int(nbins.value) + 64
-            continue
-        if rc != 0:
-            raise IOError(f"grid_cram_ingest({path}) failed with code {rc}")
-        n = int(nbins.value)
-        return (int(count.value), int(cov100.value),
-                starts[:n].copy(), ends[:n].copy(), depths[:n].copy(),
-                refids[:n].copy())
-    raise IOError(f"grid_cram_ingest({path}): staged-bin buffer kept overflowing")
-
-
+    return ingest_call(
+        lib().grid_cram_ingest, "grid_cram_ingest", path, out_bed_gz, chrom, start, end,
+        flags, count_min_mapq, bin_size, exclude_flags, bin_min_mapq,
+        skip_zero, stage_chrom_prefix,
+    )
 def references(path, max_refs=4096):
     """[(name, length)] from the CRAM SAM header (twin of native.bam.references)."""
     l = lib()

@@ -18,7 +18,6 @@
 #include <cstdlib>
 #include <cstring>
 #include <dlfcn.h>
-#include <lzma.h>
 
 #include <map>
 #include <set>
@@ -262,17 +261,35 @@ bool rans_decode(const uint8_t* src, size_t n, std::vector<uint8_t>& out) {
 
 enum { M_RAW = 0, M_GZIP = 1, M_BZIP2 = 2, M_LZMA = 3, M_RANS = 4 };
 
-// xz-container LZMA block decode via liblzma (htslib writes CRAM LZMA
-// blocks as xz streams; so does Python's lzma.compress default).
+// xz-container LZMA block decode via a runtime-loaded liblzma (htslib
+// writes CRAM LZMA blocks as xz streams; so does Python's lzma.compress
+// default). dlopen'd like bzip2 below so the native library keeps its
+// zlib-only BUILD dependency — a host without liblzma still builds and
+// runs every BAM path, and LZMA-block CRAMs fall back to the Python
+// reader (which carries its own lzma via the stdlib).
+typedef int (*lzma_decode_fn)(uint64_t*, uint32_t, void*, const uint8_t*,
+                              size_t*, size_t, uint8_t*, size_t*, size_t);
+
+lzma_decode_fn load_lzma() {
+  static lzma_decode_fn fn = [] {
+    void* h = dlopen("liblzma.so.5", RTLD_NOW | RTLD_GLOBAL);
+    if (!h) h = dlopen("liblzma.so", RTLD_NOW | RTLD_GLOBAL);
+    return h ? (lzma_decode_fn)dlsym(h, "lzma_stream_buffer_decode")
+             : (lzma_decode_fn) nullptr;
+  }();
+  return fn;
+}
+
 bool lzma_buf(const uint8_t* in, size_t in_len, std::vector<uint8_t>& out,
               int32_t raw_size) {
+  lzma_decode_fn fn = load_lzma();
+  if (!fn) return false;
   out.resize((size_t)raw_size);
   uint64_t memlimit = UINT64_MAX;
   size_t in_pos = 0, out_pos = 0;
-  lzma_ret rc = lzma_stream_buffer_decode(&memlimit, 0, nullptr, in, &in_pos,
-                                          in_len, out.data(), &out_pos,
-                                          out.size());
-  if (rc != LZMA_OK) return false;
+  if (fn(&memlimit, 0, nullptr, in, &in_pos, in_len, out.data(), &out_pos,
+         out.size()) != 0)
+    return false;
   out.resize(out_pos);
   return true;
 }
@@ -1210,6 +1227,10 @@ int grid_cram_ingest(const char* path, const char* out_bed, int32_t bin_size,
   CramFile cf;
   if (!cf.open(path)) return -1;
   int32_t count_ref = cf.ref_index(chrom);  // chr/no-chr alternates OK
+  // unknown count chromosome: error like grid_cram_count (the sequential
+  // CRAM path raises and records an Error counts row; BAM counts 0 —
+  // each format's fused behavior matches its sequential behavior)
+  if (count_ref < 0) return -4;
   std::vector<std::vector<int64_t>> overlap;
   int rc = scan_cram_bins(cf, bin_size, exclude_flags, bin_min_mapq, &overlap,
                           count_ref, wstart, wend, flags, n_flags,

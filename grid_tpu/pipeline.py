@@ -210,19 +210,31 @@ def run_wgs_pipeline(console=None, config=None, validate: bool = True):
 
     ingest_done = False
     if fused_ingest_enabled(config_data):
-        if resume.should_skip("count_reads", config_data) and resume.should_skip(
-            "mosdepth", config_data
-        ):
+        skip_cr = resume.should_skip("count_reads", config_data)
+        skip_md = resume.should_skip("mosdepth", config_data)
+        if skip_cr and skip_md:
             log(console, "[count_reads+mosdepth] up-to-date, skipped (resume)",
                 style="info")
             ingest_done = True
+        elif skip_cr or skip_md:
+            # exactly one step is up to date: the fused pass would rewrite
+            # (and on a mid-run crash, truncate) the valid artifact — keep
+            # the sequential steps' finer-grained resume instead
+            log(console, "one of steps 2/3 is up-to-date; running them"
+                " sequentially to preserve resume state", style="info")
         else:
             try:
+                # when the normalize stage will stream (bounded-memory mode
+                # for huge cohorts), don't accumulate per-sample arrays here
+                from grid_tpu.steps.normalize import stage_would_stream
+
+                collect = not stage_would_stream(config_data)
                 with step_timer("fused_ingest_2_3", timer, console):
                     counts_path, coverage_path, staged = run_fused_ingest(
-                        config_data, console
+                        config_data, console, collect_staged=collect
                     )
-                config_data["_ingest_staged"] = staged
+                if staged is not None:
+                    config_data["_ingest_staged"] = staged
                 resume.mark("count_reads", config_data, [counts_path])
                 resume.mark("mosdepth", config_data, [coverage_path])
                 ingest_done = True

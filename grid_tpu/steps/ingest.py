@@ -72,7 +72,7 @@ def _ingest_backend(path):
     return backend
 
 
-def run_fused_ingest(config, console=None):
+def run_fused_ingest(config, console=None, collect_staged=True):
     """One native pass per sample -> counts TSV + coverage TSV + bed.gz
     artifacts + in-memory staged window bins.
 
@@ -80,7 +80,10 @@ def run_fused_ingest(config, console=None):
     sample id -> (starts, ends, depths) arrays with exactly the semantics
     of read_regions_bed_gz(bed, chrom, start, end, excluded) on the file
     this pass wrote (the repeat mask is applied here, per-bin, like the
-    file reader does per-line).
+    file reader does per-line). ``collect_staged=False`` skips the
+    accumulation and returns staged=None — the pipeline passes it when the
+    normalize step will use the bounded-memory streaming stager, whose
+    whole point is not holding per-sample arrays for the full cohort.
     """
     directory_loc = config["directory_loc"]
     samples = read_samples(config["samples_file"])
@@ -121,24 +124,60 @@ def run_fused_ingest(config, console=None):
     }
 
     write_lock = Lock()
-    staged: dict = {}
+    staged: dict | None = {} if collect_staged else None
     failed = []
 
     def process(sample, path):
-        backend = _ingest_backend(path)
         bed = work_dir / f"{Path(path).stem}_{region_name}.regions.bed.gz"
-        count, cov100, starts, ends, depths, refids = backend.ingest(
-            path, str(bed), chrom, start, end, flags, count_min_mapq,
-            bin_size=by, skip_zero=sparse_bed,
-        )
-        if excluded:
-            names = [norm_chrom(n) for n, _ in backend.references(path)]
-            keep = np.array([
-                not region_overlaps_mask(names[r], int(s), int(e), excluded)
-                for r, s, e in zip(refids, starts, ends)
-            ], dtype=bool) if len(refids) else np.ones(0, bool)
-            starts, ends, depths = starts[keep], ends[keep], depths[keep]
-        return count, cov100, (starts, ends, depths)
+        try:
+            backend = _ingest_backend(path)
+            count, cov100, starts, ends, depths, refids = backend.ingest(
+                path, str(bed), chrom, start, end, flags, count_min_mapq,
+                bin_size=by, skip_zero=sparse_bed,
+            )
+            if excluded:
+                names = [norm_chrom(n) for n, _ in backend.references(path)]
+                keep = np.array([
+                    not region_overlaps_mask(names[r], int(s), int(e), excluded)
+                    for r, s, e in zip(refids, starts, ends)
+                ], dtype=bool) if len(refids) else np.ones(0, bool)
+                starts, ends, depths = starts[keep], ends[keep], depths[keep]
+            return count, cov100, (starts, ends, depths)
+        except Exception:
+            # per-sample fallback (CLAUDE.md invariant: no hard native
+            # requirement): run this sample through the SEQUENTIAL per-step
+            # paths, which carry their own backend chains (pysam ->
+            # cramlite -> ...). Count and coverage fail INDEPENDENTLY, like
+            # the sequential steps do — a bad count chromosome yields an
+            # Error counts row while coverage/staging proceed, and vice
+            # versa.
+            from grid_tpu.ingest.alignments import count_reads_in_region
+            from grid_tpu.io.bed import read_regions_bed_gz
+            from grid_tpu.steps.coverage import run_coverage_single
+
+            try:
+                count = count_reads_in_region(
+                    path, config.get("reference_genome"), chrom, start, end,
+                    flags, count_min_mapq,
+                )
+            except Exception as e:
+                log(console, f"count fallback failed for {sample}: {e}",
+                    style="danger")
+                count = "Error"
+            try:
+                cov100 = run_coverage_single(
+                    path, config.get("reference_genome"), work_dir, chrom,
+                    start, end, region_name, by, True, threads=1,
+                    sparse_bed=sparse_bed,
+                )
+                starts, ends, depths = read_regions_bed_gz(
+                    bed, chrom, start, end, excluded
+                )
+                return count, cov100, (starts, ends, depths)
+            except Exception as e:
+                log(console, f"coverage fallback failed for {sample}: {e}",
+                    style="danger")
+                return count, None, None
 
     with progress_bar(console, total=len(files), description="Ingesting (one pass)") as (progress, task):
         with ThreadPoolExecutor(max_workers=max(1, threads)) as executor:
@@ -150,19 +189,19 @@ def run_fused_ingest(config, console=None):
                 sample = futures[future]
                 try:
                     count, cov100, arrays = future.result()
-                except Exception as e:
+                except Exception as e:  # catch-all: fallback itself died
                     log(console, f"✗ {sample} ingest failed: {e}", style="danger")
+                    count, cov100, arrays = "Error", None, None
+                if cov100 is None:
                     failed.append(sample)
-                    with write_lock, open(counts_path, "a") as f:
-                        f.write(f"{sample}\tError\n")
-                    progress.update(task, advance=1)
-                    continue
                 with write_lock:
                     with open(counts_path, "a") as f:
                         f.write(f"{sample}\t{count}\n")
-                    with open(coverage_path, "a", newline="") as f:
-                        f.write(f"{sample}\t{cov100}\n")
-                staged[sample] = arrays
+                    if cov100 is not None:
+                        with open(coverage_path, "a", newline="") as f:
+                            f.write(f"{sample}\t{cov100}\n")
+                if collect_staged and arrays is not None:
+                    staged[sample] = arrays
                 progress.update(task, advance=1)
 
     if mcfg.get("remove_intermediate", False):

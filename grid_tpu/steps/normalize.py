@@ -69,6 +69,25 @@ def normalize_mosdepth(config, console=None):
     return output_path
 
 
+def stage_would_stream(config) -> bool:
+    """True when _stage will use the bounded-memory streaming stager
+    (device.streaming_stage = true, or auto with > 5000 samples). The
+    one-pass ingest consults this to avoid accumulating per-sample arrays
+    the streaming path exists not to hold."""
+    from grid_tpu.io.formats import read_samples
+
+    mode = str(config.get("device", {}).get("streaming_stage", "auto")).lower()
+    if mode == "true":
+        return config.get("chrom") is not None
+    if mode == "auto":
+        try:
+            n = len(read_samples(config["samples_file"]))
+        except Exception:
+            return False
+        return n > 5000 and config.get("chrom") is not None
+    return False
+
+
 def _stage(config, samples, chrom, start, end, excluded, min_depth, max_depth, threads, console):
     """Pick the staging strategy: config device.streaming_stage = auto|true|false.
     'auto' streams for cohorts above 5000 samples (bounded-memory two-pass).
@@ -76,19 +95,23 @@ def _stage(config, samples, chrom, start, end, excluded, min_depth, max_depth, t
     When the one-pass ingest ran in this pipeline invocation
     (steps/ingest.py), its in-memory window bins are handed over via the
     private ``_ingest_staged`` key and the bed.gz files are never re-read
-    (they were written for artifact parity, not as a transport)."""
+    (they were written for artifact parity, not as a transport). The
+    handoff is absent in streaming mode (the pipeline passes
+    collect_staged=False to the ingest), so the streaming stager reads the
+    files as before."""
     from grid_tpu.io.staging import stage_cohort, stage_cohort_streaming
 
+    mode = str(config.get("device", {}).get("streaming_stage", "auto")).lower()
+    use_stream = mode == "true" or (mode == "auto" and len(samples) > 5000)
+
     staged = config.get("_ingest_staged")
-    if staged is not None:
+    if staged is not None and not (use_stream and chrom is not None):
         return stage_cohort(
             config.get("mosdepth", {}).get("work_dir"), samples, chrom, start,
             end, excluded, min_depth, max_depth, threads, console,
             per_sample=staged,
         )
 
-    mode = str(config.get("device", {}).get("streaming_stage", "auto")).lower()
-    use_stream = mode == "true" or (mode == "auto" and len(samples) > 5000)
     if use_stream and chrom is not None:
         return stage_cohort_streaming(
             config.get("mosdepth", {}).get("work_dir"), samples, chrom, start, end,

@@ -144,3 +144,39 @@ def test_fused_ingest_error_row_for_bad_sample(tmp_path):
     # pipeline still produced dipCN for the healthy samples
     dip = (res / "diploid_genotypes.tsv").read_text().splitlines()
     assert len(dip) == 4  # header + 3 healthy samples
+
+
+def test_fused_ingest_python_fallback_per_sample(tmp_path, monkeypatch):
+    """When the native one-pass ingest fails for a sample, that sample must
+    flow through the sequential per-step fallbacks and produce the SAME
+    artifacts (CLAUDE.md invariant: every native path has a pure-Python
+    fallback)."""
+    _native_or_skip()
+    import grid_tpu.native.bam as nbam
+    from grid_tpu.pipeline import run_wgs_pipeline
+    from grid_tpu.synth import make_synthetic_cohort_with_alignments
+
+    outs = {}
+    for mode in ("native", "fallback"):
+        cohort = make_synthetic_cohort_with_alignments(
+            tmp_path / mode, n_samples=4, seed=17
+        )
+        cfg = copy.deepcopy(cohort["config"])
+        cfg.setdefault("device", {})["fused_ingest"] = "true"
+        cfg["compute_haploid_genotypes"]["run"] = False
+        if mode == "fallback":
+            def boom(*a, **k):
+                raise IOError("simulated native ingest failure")
+
+            monkeypatch.setattr(nbam, "ingest", boom)
+        run_wgs_pipeline(console=None, config=cfg)
+        res = cohort["results_dir"]
+        outs[mode] = {
+            "counts": sorted((res / "read_counts.tsv").read_bytes().splitlines()),
+            "cov": sorted((res / "mosdepth_results.tsv").read_bytes().splitlines()),
+            "dip": (res / "diploid_genotypes.tsv").read_bytes(),
+        }
+        monkeypatch.undo()
+    assert outs["native"]["counts"] == outs["fallback"]["counts"]
+    assert outs["native"]["cov"] == outs["fallback"]["cov"]
+    assert outs["native"]["dip"] == outs["fallback"]["dip"]

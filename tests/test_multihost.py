@@ -174,14 +174,13 @@ STAGE_WORKER = textwrap.dedent(
     s1 = cohort_sharding(mesh, 1)
     rng = np.random.default_rng(3)
     reads_all = rng.integers(500, 2000, n_total).astype(np.float64)
-    # reads follow the GLOBAL row order (process-segmented with per-process
-    # padding): rebuild the padded vector from row_valid
+    # sample_rows is THE sample<->row mapping (row_valid conflates padding
+    # with real-but-empty samples and must not be used for this)
+    assert stage.sample_rows.shape == (n_total,)
+    reads_p = np.zeros(n_pad)
+    reads_p[stage.sample_rows] = reads_all
     rv_host = np.asarray(mhu.process_allgather(stage.row_valid, tiled=True))
-    reads_p = np.zeros(n_pad); k = 0
-    for g in range(n_pad):
-        if rv_host[g]:
-            reads_p[g] = reads_all[k]; k += 1
-    assert k == n_total
+    assert rv_host[stage.sample_rows].all()  # this cohort has no empty samples
     rows_per = n_pad // len(jax.devices())
     all_devs = list(jax.devices())
 

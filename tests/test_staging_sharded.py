@@ -164,3 +164,45 @@ def test_sharded_stage_bounded_host_buffers(mesh8):
     assert stage.values.shape == (64, r)
     for shard in stage.values.addressable_shards:
         assert shard.data.shape == (8, r)
+
+
+def test_sample_rows_mapping_with_empty_sample():
+    """sample_rows must map every sample to its row even when a sample has
+    ZERO surviving regions (row_valid False there) — reconstructing the
+    mapping from row_valid would shift all later samples."""
+    import jax
+    import numpy as np
+
+    from grid_tpu.io.staging import stage_cohort_sharded
+    from grid_tpu.parallel.mesh import cohort_mesh
+
+    mesh = cohort_mesh(8)
+    n, r = 19, 16
+
+    def source():
+        def it():
+            starts = np.arange(r, dtype=np.int64) * 1000
+            for i in range(n):
+                if i == 4:
+                    # sole sample on chr9 with out-of-range depths: every
+                    # one of ITS regions fails the population filter
+                    yield "S004", [("chr9", starts, starts + 1000,
+                                    np.full(r, 5000.0))]
+                else:
+                    yield f"S{i:03d}", [("chr1", starts, starts + 1000,
+                                         np.full(r, 30.0 + i))]
+        return it()
+
+    stage = stage_cohort_sharded(source, mesh, min_depth=1, max_depth=1000)
+    assert stage.n == n
+    rows = np.asarray(stage.sample_rows)
+    assert rows.shape == (n,)
+    rv = np.asarray(stage.row_valid)
+    vals = np.asarray(stage.values)
+    # the empty sample keeps its row (marked invalid); others' rows carry
+    # their depths
+    assert not rv[rows[4]]
+    for i in [0, 3, 5, n - 1]:
+        assert rv[rows[i]]
+        assert np.allclose(vals[rows[i]][np.asarray(stage.mask)[rows[i]]],
+                           30.0 + i)
