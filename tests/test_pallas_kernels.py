@@ -67,3 +67,37 @@ def test_masked_column_stats_matches_reference(rng):
         col_means=jnp.asarray(mu), tile_m=16, tile_c=128, interpret=True,
     )
     np.testing.assert_allclose(np.asarray(sq), sq_ref, rtol=1e-4, atol=1e-5)
+
+
+class TestPallasDipcn:
+    """The VMEM-resident threshold-dipCN kernel must be BIT-equal to the
+    XLA formulation (interpret mode on CPU; hardware timing in
+    scripts/probe_pallas_dipcn.py)."""
+
+    @pytest.mark.parametrize("row_block", [32, 97, 128])
+    def test_matches_xla_formulation(self, row_block):
+        import numpy as np
+
+        from grid_tpu.ops.knn import d2_matrix
+        from grid_tpu.ops.pallas_select import dipcn_from_distances_pallas
+        from grid_tpu.ops.select import dipcn_from_distances
+
+        rng = np.random.default_rng(1)
+        n, r = 97, 16
+        zp = np.round(rng.normal(size=(n, r)).astype(np.float32) * 4) / 4
+        rnorm = rng.uniform(0.5, 2.0, n).astype(np.float32)
+        usable = rng.random(n) > 0.2
+        valid = rng.random(n) > 0.1
+        d2 = d2_matrix(jnp.asarray(zp), row_valid=jnp.asarray(valid))
+        want, wok = dipcn_from_distances(
+            d2, rnorm, rnorm, usable, usable, k=20, n_nbr=7
+        )
+        got, gok = dipcn_from_distances_pallas(
+            d2, rnorm, rnorm, usable, usable, k=20, n_nbr=7,
+            row_block=row_block, interpret=True,
+        )
+        wok = np.asarray(wok)
+        np.testing.assert_array_equal(wok, np.asarray(gok))
+        np.testing.assert_array_equal(
+            np.asarray(want)[wok], np.asarray(got)[wok]
+        )
