@@ -201,8 +201,10 @@ def main():
     ap.add_argument("--k", type=int, default=None)
     ap.add_argument("--skip-baseline", action="store_true")
     ap.add_argument("--_worker", action="store_true", help=argparse.SUPPRESS)
-    ap.add_argument("--device-timeout", type=int, default=420,
-                    help="seconds before falling back to the CPU backend")
+    ap.add_argument("--device-timeout", type=int, default=1500,
+                    help="seconds before falling back to the CPU backend"
+                         " (the tunneled chip has minutes-long degraded"
+                         " windows; a cold compile must survive one)")
     args = ap.parse_args()
 
     n = args.n or (512 if args.quick else 2504)
