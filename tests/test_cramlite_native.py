@@ -158,3 +158,39 @@ class TestNativeWriter:
                     if r.ref_id == 0 and r.pos < 9000
                     and r.pos + max(r.ref_len, 1) > 3000]
         assert {(r.name, r.pos) for r in window} == {(r.name, r.pos) for r in full}
+
+
+def test_native_cram_corruption_fuzz_never_crashes(tmp_path, native_cram):
+    """Bit-flipped / truncated CRAMs must produce clean error codes from
+    every native entry point (the C++ reader guards with try/catch -> -99;
+    a crash here would take the whole pipeline process down)."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    recs = [dict(ref_id=0, pos=int(p), flag=99, mapq=30, rl=60,
+                 seq="A" * 60, name=f"r{i}")
+            for i, p in enumerate(np.sort(rng.integers(0, 50_000, 300)))]
+    path = tmp_path / "fz.cram"
+    cl.write_cram(path, [("chr1", 100_000)], recs, method=cl.RANS)
+    good = path.read_bytes()
+
+    for trial in range(25):
+        raw = bytearray(good)
+        if trial % 3 == 0:
+            raw = raw[: rng.integers(30, len(raw))]
+        for _ in range(int(rng.integers(1, 8))):
+            raw[int(rng.integers(0, len(raw)))] ^= int(rng.integers(1, 256))
+        bad = tmp_path / "bad.cram"
+        bad.write_bytes(bytes(raw))
+        for fn in (
+            lambda: native_cram.dump_records(bad),
+            lambda: native_cram.count_reads_region(bad, "chr1", 0, 100_000, {99}, 0),
+            lambda: native_cram.binned_depth(bad, tmp_path / "o.bed.gz"),
+            lambda: native_cram.ingest(bad, tmp_path / "o.bed.gz", "chr1",
+                                       0, 100_000, [99], 0),
+            lambda: native_cram.references(bad),
+        ):
+            try:
+                fn()
+            except Exception:
+                pass  # clean errors are fine; crashes are not

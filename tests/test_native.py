@@ -281,6 +281,8 @@ def test_bam_corruption_fuzz_never_crashes(tmp_path, native, rng):
             lambda: bam.count_reads_region(bad, "chr1", 0, 100_000, {83}, 0),
             lambda: bam.binned_depth(bad, tmp_path / "o.bed.gz"),
             lambda: bam.build_bai(bad, tmp_path / "o.bai"),
+            lambda: bam.ingest(bad, tmp_path / "o.bed.gz", "chr1", 0,
+                               100_000, [83], 0),
         ):
             try:
                 fn()
