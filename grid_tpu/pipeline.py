@@ -210,13 +210,14 @@ def run_wgs_pipeline(console=None, config=None, validate: bool = True):
 
     ingest_done = False
     if fused_ingest_enabled(config_data):
-        skip_cr = resume.should_skip("count_reads", config_data)
+        cr_on = config_data.get("count_reads", {}).get("run") is True
+        skip_cr = (not cr_on) or resume.should_skip("count_reads", config_data)
         skip_md = resume.should_skip("mosdepth", config_data)
         if skip_cr and skip_md:
             log(console, "[count_reads+mosdepth] up-to-date, skipped (resume)",
                 style="info")
             ingest_done = True
-        elif skip_cr or skip_md:
+        elif cr_on and (skip_cr or skip_md):
             # exactly one step is up to date: the fused pass would rewrite
             # (and on a mid-run crash, truncate) the valid artifact — keep
             # the sequential steps' finer-grained resume instead
@@ -235,7 +236,8 @@ def run_wgs_pipeline(console=None, config=None, validate: bool = True):
                     )
                 if staged is not None:
                     config_data["_ingest_staged"] = staged
-                resume.mark("count_reads", config_data, [counts_path])
+                if counts_path is not None:
+                    resume.mark("count_reads", config_data, [counts_path])
                 resume.mark("mosdepth", config_data, [coverage_path])
                 ingest_done = True
             except Exception as e:

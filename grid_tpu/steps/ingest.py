@@ -37,17 +37,19 @@ from grid_tpu.utils.logging import log, progress_bar
 
 
 def fused_ingest_enabled(config) -> bool:
-    """True when the one-pass native ingest can replace steps 2+3.
+    """True when the one-pass native ingest can replace step 3 (and step 2
+    when it is gated on — the window count is a free byproduct of the scan;
+    with ``count_reads.run: false``, e.g. the multi-locus sweep's shared
+    phase, the pass still produces the bed.gz artifacts, the coverage TSV
+    and the in-process staged bins).
 
-    Requirements: both steps gated on, a BAM/CRAM cohort, the native
-    library importable, and — in ``auto`` mode — the mosdepth binary absent
-    (when mosdepth IS on PATH the classic step 3 defers to it for
-    bit-level reference parity; ``device.fused_ingest: true`` overrides).
+    Requirements: mosdepth gated on, a BAM/CRAM cohort, the native library
+    importable, and — in ``auto`` mode — the mosdepth binary absent (when
+    mosdepth IS on PATH the classic step 3 defers to it for bit-level
+    reference parity; ``device.fused_ingest: true`` overrides).
     """
     mode = str(config.get("device", {}).get("fused_ingest", "auto")).lower()
     if mode == "false":
-        return False
-    if config.get("count_reads", {}).get("run") is not True:
         return False
     if config.get("mosdepth", {}).get("run") is not True:
         return False
@@ -96,10 +98,13 @@ def run_fused_ingest(config, console=None, collect_staged=True):
 
     out_dir = config.get("output_dir", ".")
     out_type = config.get("output_file_type", "tsv")
-    counts_path = setup_output_file(
-        Path(f"{out_dir}/{config.get('count_reads', {}).get('output_file_prefix')}.{out_type}"),
-        chrom, start, end,
-    )
+    do_counts = config.get("count_reads", {}).get("run") is True
+    counts_path = None
+    if do_counts:
+        counts_path = setup_output_file(
+            Path(f"{out_dir}/{config.get('count_reads', {}).get('output_file_prefix')}.{out_type}"),
+            chrom, start, end,
+        )
     mcfg = config.get("mosdepth", {})
     coverage_path = setup_output_file(
         Path(f"{out_dir}/{mcfg.get('output_file_prefix')}.{out_type}"),
@@ -195,8 +200,9 @@ def run_fused_ingest(config, console=None, collect_staged=True):
                 if cov100 is None:
                     failed.append(sample)
                 with write_lock:
-                    with open(counts_path, "a") as f:
-                        f.write(f"{sample}\t{count}\n")
+                    if do_counts:
+                        with open(counts_path, "a") as f:
+                            f.write(f"{sample}\t{count}\n")
                     if cov100 is not None:
                         with open(coverage_path, "a", newline="") as f:
                             f.write(f"{sample}\t{cov100}\n")
@@ -208,6 +214,8 @@ def run_fused_ingest(config, console=None, collect_staged=True):
         remove_intermediate_files(work_dir, console)
 
     log(console,
-        f"One-pass ingest complete: counts → {counts_path}, coverage → {coverage_path}",
+        "One-pass ingest complete: "
+        + (f"counts → {counts_path}, " if do_counts else "")
+        + f"coverage → {coverage_path}",
         style="success")
     return counts_path, coverage_path, staged

@@ -180,3 +180,34 @@ def test_fused_ingest_python_fallback_per_sample(tmp_path, monkeypatch):
     assert outs["native"]["counts"] == outs["fallback"]["counts"]
     assert outs["native"]["cov"] == outs["fallback"]["cov"]
     assert outs["native"]["dip"] == outs["fallback"]["dip"]
+
+
+def test_fused_ingest_coverage_only_mode(tmp_path):
+    """count_reads.run=False (the multi-locus sweep's shared phase): the
+    one-pass ingest still produces the bed.gz + coverage TSV + staged bins,
+    writes NO counts file, and downstream normalize matches sequential."""
+    _native_or_skip()
+    from grid_tpu.pipeline import run_wgs_pipeline
+    from grid_tpu.synth import make_synthetic_cohort_with_alignments
+
+    outs = {}
+    for mode in ("sequential", "fused"):
+        cohort = make_synthetic_cohort_with_alignments(
+            tmp_path / mode, n_samples=5, seed=23
+        )
+        cfg = copy.deepcopy(cohort["config"])
+        cfg["count_reads"]["run"] = False
+        cfg.setdefault("device", {})["fused_ingest"] = (
+            "true" if mode == "fused" else "false"
+        )
+        for sec in ("compute_diploid_genotypes", "compute_haploid_genotypes"):
+            cfg[sec]["run"] = False
+        # stale counts from fabrication must not be touched
+        run_wgs_pipeline(console=None, config=cfg)
+        res = cohort["results_dir"]
+        outs[mode] = {
+            "cov": sorted((res / "mosdepth_results.tsv").read_bytes().splitlines()),
+            "norm": gzip.open(res / "mosdepth_results_normalized.tsv.gz", "rb").read(),
+        }
+    assert outs["sequential"]["cov"] == outs["fused"]["cov"]
+    assert outs["sequential"]["norm"] == outs["fused"]["norm"]
