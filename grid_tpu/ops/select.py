@@ -41,11 +41,20 @@ _KEY_TYPES = {
 }
 
 
-def _kth_smallest_key(u, k):
+def _kth_smallest_key(u, k, arity: int = 2):
     """Exact k-th smallest integer key per row of ``u`` [N, W] (keys are
     bitcast from non-negative floats, so non-negative). ``k`` may be a
     static int or a per-row [N] int array (1 <= k <= W; rows with k <= 0
-    return an undefined value the caller must mask)."""
+    return an undefined value the caller must mask).
+
+    ``arity``: probes per pass; ``arity - 1`` thresholds per ``u`` read,
+    narrowing the interval by log2(arity) bits. Exact for any arity.
+    MEASURED (one v5e, N=2504, docs/perf.md): 4-ary made the dipCN step
+    SLOWER (1.79 -> 2.10 ms) — the pass is not purely read-bound, and the
+    extra compare+reduce per pass costs more than the passes saved — so
+    binary stays the default; the knob remains for re-measurement on other
+    shapes/hardware.
+    """
     n = u.shape[0]
     bits = 8 * u.dtype.itemsize
     kt = u.dtype.type
@@ -53,39 +62,72 @@ def _kth_smallest_key(u, k):
     if k_arr.ndim == 0:
         k_arr = jnp.full((n,), k_arr)
 
+    import math
+
+    steps = math.ceil((bits - 1) / math.log2(arity))
+
     def body(_, lohi):
         lo, hi = lohi
-        mid = lo + (hi - lo) // 2
-        cnt = jnp.sum((u <= mid[:, None]).astype(jnp.int32), axis=1)
-        ge = cnt >= k_arr
-        return jnp.where(ge, lo, mid + 1), jnp.where(ge, mid, hi)
+        # arity-1 probes at the cell ends of an equal partition of the
+        # (span+1)-key interval [lo, hi]: probe_j = lo + ceil((span+1)*j /
+        # arity) - 1, computed overflow-safely via span = q*arity + r.
+        # Invariant (as in the binary version): count(<= hi) >= k always;
+        # the largest surviving cell has ceil((span+1)/arity) keys, so
+        # ceil(31/log2(arity)) passes reach span 0 for 32-bit keys.
+        new_lo, new_hi = lo, hi
+        span = hi - lo
+        q = span // arity
+        r = span % arity + 1  # span + 1 = q*arity + r, without overflow
+        q1 = q + r // arity
+        r1 = r % arity
+        for j in range(1, arity):
+            jj = jnp.asarray(j, lo.dtype)
+            mid = lo + q1 * jj + (r1 * jj + (arity - 1)) // arity - 1
+            cnt = jnp.sum((u <= mid[:, None]).astype(jnp.int32), axis=1)
+            ge = cnt >= k_arr
+            new_hi = jnp.where(ge, jnp.minimum(new_hi, mid), new_hi)
+            new_lo = jnp.where(ge, new_lo, jnp.maximum(new_lo, mid + 1))
+        return new_lo, new_hi
 
     lo = jnp.zeros((n,), u.dtype)
     hi = jnp.full((n,), kt((1 << (bits - 1)) - 1))
-    lo, hi = jax.lax.fori_loop(0, bits - 1, body, (lo, hi))
+    lo, hi = jax.lax.fori_loop(0, steps, body, (lo, hi))
     return hi
 
 
-def _tie_cut_column(tie_mask, need):
+def _tie_cut_column(tie_mask, need, arity: int = 2):
     """Smallest column c such that ``count(tie & col <= c) >= need`` per
-    row — the ascending-column tie trim, found by bisection on the column
-    index (count passes only; no prefix arrays, no gathers).
+    row — the ascending-column tie trim, found by multiway bisection on the
+    column index (count passes only; no prefix arrays, no gathers; same
+    arity/traffic trade as :func:`_kth_smallest_key`).
 
     Rows with need <= 0 return -1 (no ties taken)."""
+    import math
+
     n, w = tie_mask.shape
     cols = jax.lax.broadcasted_iota(jnp.int32, (n, w), 1)
     need = jnp.asarray(need, jnp.int32)
 
     def body(_, lohi):
         lo, hi = lohi
-        mid = lo + (hi - lo) // 2
-        cnt = jnp.sum((tie_mask & (cols <= mid[:, None])).astype(jnp.int32), axis=1)
-        ge = cnt >= need
-        return jnp.where(ge, lo, mid + 1), jnp.where(ge, mid, hi)
+        new_lo, new_hi = lo, hi
+        span = hi - lo
+        q = span // arity
+        r = span % arity + 1
+        q1 = q + r // arity
+        r1 = r % arity
+        for j in range(1, arity):
+            jj = jnp.asarray(j, jnp.int32)
+            mid = lo + q1 * jj + (r1 * jj + (arity - 1)) // arity - 1
+            cnt = jnp.sum((tie_mask & (cols <= mid[:, None])).astype(jnp.int32), axis=1)
+            ge = cnt >= need
+            new_hi = jnp.where(ge, jnp.minimum(new_hi, mid), new_hi)
+            new_lo = jnp.where(ge, new_lo, jnp.maximum(new_lo, mid + 1))
+        return new_lo, new_hi
 
     lo = jnp.zeros((n,), jnp.int32)
     hi = jnp.full((n,), w - 1, jnp.int32)
-    steps = max(int(w - 1).bit_length(), 1)
+    steps = max(math.ceil(max(int(w - 1).bit_length(), 1) / math.log2(arity)), 1)
     lo, hi = jax.lax.fori_loop(0, steps, body, (lo, hi))
     return jnp.where(need > 0, hi, -1)
 
