@@ -12,10 +12,11 @@ Semantics are IDENTICAL to dipcn_from_distances (same bitcast key space,
 same stable-tie rule); the parity test drives both on forced-tie inputs.
 
 Per the repo's measurement rule (docs/perf.md: the custom Gram kernel lost
-10x to XLA and stays shelved), this kernel is opt-in
-(`CohortParams.use_pallas_dipcn`) until a committed measurement shows it
-beating the XLA formulation on hardware; `scripts/probe_pallas_dipcn.py`
-is the harness.
+10x to XLA and stays shelved), this kernel is NOT wired into the pipeline:
+measured on one v5e it TIES the XLA formulation (best case 1.13x at
+block 512 — XLA already runs at the bisection bandwidth floor), so callers
+who want it invoke :func:`dipcn_from_distances_pallas` directly;
+`scripts/probe_pallas_dipcn.py` is the measurement harness.
 """
 
 from __future__ import annotations

@@ -214,7 +214,9 @@ def run_wgs_pipeline(console=None, config=None, validate: bool = True):
         skip_cr = (not cr_on) or resume.should_skip("count_reads", config_data)
         skip_md = resume.should_skip("mosdepth", config_data)
         if skip_cr and skip_md:
-            log(console, "[count_reads+mosdepth] up-to-date, skipped (resume)",
+            log(console,
+                "[count_reads+mosdepth] up-to-date, skipped (resume)"
+                if cr_on else "[mosdepth] up-to-date, skipped (resume)",
                 style="info")
             ingest_done = True
         elif cr_on and (skip_cr or skip_md):

@@ -160,15 +160,18 @@ def run_fused_ingest(config, console=None, collect_staged=True):
             from grid_tpu.io.bed import read_regions_bed_gz
             from grid_tpu.steps.coverage import run_coverage_single
 
-            try:
-                count = count_reads_in_region(
-                    path, config.get("reference_genome"), chrom, start, end,
-                    flags, count_min_mapq,
-                )
-            except Exception as e:
-                log(console, f"count fallback failed for {sample}: {e}",
-                    style="danger")
-                count = "Error"
+            count = None
+            if do_counts:  # the count fallback is a real extra pass — skip
+                # it entirely when the counts artifact is disabled
+                try:
+                    count = count_reads_in_region(
+                        path, config.get("reference_genome"), chrom, start,
+                        end, flags, count_min_mapq,
+                    )
+                except Exception as e:
+                    log(console, f"count fallback failed for {sample}: {e}",
+                        style="danger")
+                    count = "Error"
             try:
                 cov100 = run_coverage_single(
                     path, config.get("reference_genome"), work_dir, chrom,

@@ -202,9 +202,20 @@ def test_fused_ingest_coverage_only_mode(tmp_path):
         )
         for sec in ("compute_diploid_genotypes", "compute_haploid_genotypes"):
             cfg[sec]["run"] = False
-        # stale counts from fabrication must not be touched
-        run_wgs_pipeline(console=None, config=cfg)
         res = cohort["results_dir"]
+        counts_before = (res / "read_counts.tsv").read_bytes() \
+            if (res / "read_counts.tsv").exists() else None
+        timings = run_wgs_pipeline(console=None, config=cfg)
+        if mode == "fused":
+            # the fused path must actually have RUN (a crash would silently
+            # fall back to sequential and this test would be vacuous)
+            assert "fused_ingest_2_3" in timings, timings
+        else:
+            assert "fused_ingest_2_3" not in timings, timings
+        # stale counts from fabrication untouched; none created
+        counts_after = (res / "read_counts.tsv").read_bytes() \
+            if (res / "read_counts.tsv").exists() else None
+        assert counts_after == counts_before
         outs[mode] = {
             "cov": sorted((res / "mosdepth_results.tsv").read_bytes().splitlines()),
             "norm": gzip.open(res / "mosdepth_results_normalized.tsv.gz", "rb").read(),

@@ -293,3 +293,53 @@ class TestPanelDipcn:
         np.testing.assert_allclose(
             np.asarray(want)[ok], np.asarray(got)[ok], rtol=1e-6
         )
+
+
+class TestMultiwayBisect:
+    """The arity knob on the threshold-bisection primitives must be exact
+    for every arity (binary is the measured default; the knob exists for
+    re-measurement on other hardware — docs/perf.md)."""
+
+    @pytest.mark.parametrize("arity", [2, 3, 4, 8])
+    def test_kth_smallest_exact(self, arity):
+        import numpy as np
+
+        from grid_tpu.ops.select import _kth_smallest_key
+
+        rng = np.random.default_rng(arity)
+        for trial in range(60):
+            n = int(rng.integers(1, 6))
+            w = int(rng.integers(1, 12))
+            u = rng.integers(0, 8, size=(n, w)).astype(np.int32)
+            if trial % 4 == 0:  # full key range incl. near-max values
+                u = rng.integers(0, 2**31 - 1, size=(n, w)).astype(np.int32)
+            k = rng.integers(1, w + 1, size=n).astype(np.int32)
+            got = np.asarray(
+                _kth_smallest_key(jnp.asarray(u), jnp.asarray(k), arity=arity)
+            )
+            want = np.array([np.sort(u[i])[k[i] - 1] for i in range(n)])
+            np.testing.assert_array_equal(got, want)
+
+    @pytest.mark.parametrize("arity", [2, 3, 4, 8])
+    def test_tie_cut_exact(self, arity):
+        import numpy as np
+
+        from grid_tpu.ops.select import _tie_cut_column
+
+        rng = np.random.default_rng(100 + arity)
+        for _ in range(60):
+            n = int(rng.integers(1, 5))
+            w = int(rng.integers(1, 15))
+            tie = rng.random((n, w)) < 0.4
+            need = rng.integers(-1, 4, size=n).astype(np.int32)
+            got = np.asarray(
+                _tie_cut_column(jnp.asarray(tie), jnp.asarray(need), arity=arity)
+            )
+            for i in range(n):
+                if need[i] <= 0:
+                    assert got[i] == -1
+                else:
+                    cs = np.cumsum(tie[i])
+                    idx = np.where(cs >= need[i])[0]
+                    want = idx[0] if len(idx) else w - 1
+                    assert got[i] == want
