@@ -25,6 +25,9 @@ def main():
     ap.add_argument("--threads", type=int, default=2)
     ap.add_argument("--fused", action="store_true")
     ap.add_argument("--mean-depth", type=float, default=4.0)
+    ap.add_argument("--file-type", choices=["bam", "cram"], default="bam",
+                    help="cohort alignment format (cram exercises the"
+                         " self-contained CRAM ingest end to end)")
     args = ap.parse_args()
 
     import yaml
@@ -39,6 +42,7 @@ def main():
     t0 = time.perf_counter()
     cohort = make_synthetic_cohort_with_alignments(
         out, n_samples=args.n, seed=9, mean_depth=args.mean_depth,
+        file_type=args.file_type,
     )
     import numpy as np
 
@@ -52,7 +56,7 @@ def main():
     for stale in (out / "results").glob("*"):
         if stale.name != "truth_hap_cn.tsv" and not stale.name.startswith("read_counts"):
             stale.unlink()
-    print(f"fabricated {args.n}-sample BAM cohort + phased panel in {t_fab:.1f}s",
+    print(f"fabricated {args.n}-sample {args.file_type.upper()} cohort + phased panel in {t_fab:.1f}s",
           flush=True)
 
     cfg = yaml.safe_load(open(cohort["config_file"]))
@@ -76,7 +80,8 @@ def main():
     t_total = time.perf_counter() - t0
 
     timings = json.loads((Path(cfg["output_dir"]) / "step_timings.json").read_text())
-    report = {"n": args.n, "fused": bool(args.fused), "fabricate_s": round(t_fab, 1),
+    report = {"n": args.n, "file_type": args.file_type,
+              "fused": bool(args.fused), "fabricate_s": round(t_fab, 1),
               "pipeline_total_s": round(t_total, 1),
               "steps_s": {k: round(v, 2) for k, v in timings.items()}}
     print(json.dumps(report), flush=True)
