@@ -2,6 +2,7 @@ from grid_tpu.ingest.alignments import (
     count_reads_in_region,
     create_index_for_file,
     find_file,
+    find_files,
     has_index,
     available_backends,
 )
@@ -10,6 +11,7 @@ __all__ = [
     "count_reads_in_region",
     "create_index_for_file",
     "find_file",
+    "find_files",
     "has_index",
     "available_backends",
 ]

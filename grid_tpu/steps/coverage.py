@@ -21,7 +21,7 @@ from concurrent.futures import ThreadPoolExecutor, as_completed
 from pathlib import Path
 from threading import Lock
 
-from grid_tpu.ingest.alignments import find_file
+from grid_tpu.ingest.alignments import find_files
 from grid_tpu.io.formats import read_samples, setup_output_file
 from grid_tpu.utils.logging import log, progress_bar
 
@@ -185,9 +185,11 @@ def compute_mosdepth(config, console=None):
     output_path = setup_output_file(output_file, chrom, start, end)
 
     files = {
-        sample: result
-        for sample in samples
-        if (result := find_file(directory_loc, sample, config.get("file_type"))) is not None
+        sample: path
+        for sample, path in find_files(
+            directory_loc, samples, config.get("file_type")
+        ).items()
+        if path is not None
     }
 
     write_lock = Lock()

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from pathlib import Path
 
-from grid_tpu.ingest.alignments import create_index_for_file, find_file, has_index
+from grid_tpu.ingest.alignments import create_index_for_file, find_files, has_index
 from grid_tpu.io.formats import read_samples
 from grid_tpu.utils.logging import log, progress_bar
 
@@ -22,9 +22,10 @@ def _scan(config, console, create: bool):
 
     results = {"missing_file": [], "missing_index": [], "has_index": []}
     desc = "Creating index" if create else "Checking indexes"
+    file_paths = find_files(directory_loc, samples, file_type)
     with progress_bar(console, total=len(samples), description=desc) as (progress, task):
         for sample in samples:
-            file_path = find_file(directory_loc, sample, file_type)
+            file_path = file_paths[sample]
             if not file_path:
                 results["missing_file"].append(sample)
                 progress.advance(task)

@@ -29,7 +29,7 @@ from threading import Lock
 
 import numpy as np
 
-from grid_tpu.ingest.alignments import find_file
+from grid_tpu.ingest.alignments import find_files
 from grid_tpu.io.bed import norm_chrom, region_overlaps_mask
 from grid_tpu.io.formats import read_samples, setup_output_file
 from grid_tpu.steps.coverage import mosdepth_available, remove_intermediate_files
@@ -123,9 +123,11 @@ def run_fused_ingest(config, console=None, collect_staged=True):
     excluded = load_repeat_mask(repeat_mask) if repeat_mask else {}
 
     files = {
-        sample: result
-        for sample in samples
-        if (result := find_file(directory_loc, sample, config.get("file_type"))) is not None
+        sample: path
+        for sample, path in find_files(
+            directory_loc, samples, config.get("file_type")
+        ).items()
+        if path is not None
     }
 
     write_lock = Lock()
