@@ -912,6 +912,10 @@ class CramRecord:
     tlen: int = 0
     tags: list = field(default_factory=list)  # (tag, type, raw bytes)
     ref_len: int = 0       # reference bases consumed
+    # [(op, length)] SAM CIGAR, reconstructed from the record's features on
+    # read and re-encoded as features on write (D/N/I/S/H/P preserved).
+    # None = unknown (treated as all-M by writers, the pre-round-3 behavior).
+    cigar: list | None = None
 
 
 _BASES = b"ACGTN"
@@ -1014,6 +1018,7 @@ def _decode_slice_records(comp: CompressionHeader, sh: SliceHeader, core: BitRea
             if cf & CF_QS_STORED:
                 qual = bytearray(codec("QS").read_bytes(core, ext, r.rl))
             r.ref_len = _ref_len_from_features(feats, r.rl)
+            r.cigar = _cigar_from_features(feats, r.rl)
             if cf & CF_NO_SEQ:
                 r.seq = None
             else:
@@ -1065,6 +1070,115 @@ def _ref_len_from_features(feats, rl: int) -> int:
         elif fc == "H" or fc == "P":
             pass
     return max(ref_len, 0)
+
+
+def _cigar_from_features(feats, rl: int):
+    """SAM CIGAR from a record's feature list (spec §10.4 semantics: FP is
+    the 1-based read position of the feature; read positions not covered by
+    a read-consuming feature are matches). X/B single-base features and 'b'
+    stretches reconstruct as M — htslib does the same."""
+    ops: list[list] = []
+
+    def add(op, n):
+        if n <= 0:
+            return
+        if ops and ops[-1][0] == op:
+            ops[-1][1] += n
+        else:
+            ops.append([op, n])
+
+    rp = 1  # next unconsumed read base, 1-based
+    for fc, fpos, op in feats:
+        if fc in ("q", "Q"):  # quality-only features: no CIGAR effect
+            continue
+        add("M", fpos - rp)
+        rp = max(rp, fpos)
+        if fc == "S":
+            add("S", len(op))
+            rp += len(op)
+        elif fc == "I":
+            add("I", len(op))
+            rp += len(op)
+        elif fc == "i":
+            add("I", 1)
+            rp += 1
+        elif fc == "b":
+            add("M", len(op))
+            rp += len(op)
+        elif fc in ("B", "X"):
+            add("M", 1)
+            rp += 1
+        elif fc == "D":
+            add("D", op)
+        elif fc == "N":
+            add("N", op)
+        elif fc == "P":
+            add("P", op)
+        elif fc == "H":
+            add("H", op)
+    add("M", rl - rp + 1)
+    return [(op, n) for op, n in ops]
+
+
+def _cigar_ref_len(cigar) -> int:
+    """Reference bases consumed by a CIGAR (M/D/N/=/X)."""
+    return sum(n for op, n in cigar if op in "MDN=X")
+
+
+def _cigar_read_len(cigar) -> int:
+    """Read bases consumed by a CIGAR (M/I/S/=/X)."""
+    return sum(n for op, n in cigar if op in "MIS=X")
+
+
+def _cigar_is_trivial(cigar) -> bool:
+    """True when the CIGAR is absent or pure match — the verbatim
+    base-stretch encoding already represents it exactly."""
+    return cigar is None or all(op in "M=X" for op, _n in cigar)
+
+
+def _features_from_cigar(cigar, seq: bytes, ref_fetch, ref_id, pos0):
+    """Feature list [(fc, fpos, payload)] encoding a read with the given
+    CIGAR. M/=/X segments become substitution features when a reference is
+    at hand and the segment matches it ACGTN-wise (same rule as
+    _substitution_features), else verbatim 'b' stretches; S/I/D/N/H/P map
+    to their CRAM feature codes."""
+    feats = []
+    rp = 1          # 1-based read cursor
+    roff = pos0     # 0-based reference cursor
+    for op, n in cigar:
+        if op in "M=X":
+            seg = seq[rp - 1 : rp - 1 + n]
+            subs = None
+            if ref_fetch is not None and ref_id >= 0:
+                ref = ref_fetch(ref_id, roff, roff + n)
+                if ref:
+                    subs = _substitution_features(seg.decode("ascii"), ref)
+            if subs is not None:
+                for j, code in subs:
+                    feats.append(("X", rp + j - 1, code))
+            else:
+                feats.append(("b", rp, seg))
+            rp += n
+            roff += n
+        elif op == "I":
+            feats.append(("I", rp, seq[rp - 1 : rp - 1 + n]))
+            rp += n
+        elif op == "S":
+            feats.append(("S", rp, seq[rp - 1 : rp - 1 + n]))
+            rp += n
+        elif op == "D":
+            feats.append(("D", rp, n))
+            roff += n
+        elif op == "N":
+            feats.append(("N", rp, n))
+            roff += n
+        elif op == "H":
+            feats.append(("H", rp, n))
+        elif op == "P":
+            feats.append(("P", rp, n))
+        else:
+            raise ValueError(f"cram: unsupported CIGAR op {op!r}")
+    return feats
 
 
 def _reconstruct_seq(feats, rl, ref_id, pos0, sub_table, ref_fetch, qual):
@@ -1139,6 +1253,8 @@ _SERIES_IDS = {
     "BF": 1, "CF": 2, "RL": 3, "AP": 4, "MF": 5, "NS": 6, "NP": 7, "TS": 8,
     "RN": 9, "FN": 10, "FC": 11, "FP": 12, "BB_len": 13, "BB_val": 14,
     "QS": 15, "MQ": 16, "BA": 17, "RI": 18, "BS": 19,
+    # 20 is _EMBEDDED_REF_ID; CIGAR-feature series (round 3):
+    "SC": 21, "IN": 22, "DL": 23, "RS": 24, "PD": 25, "HC": 26,
 }
 
 
@@ -1167,6 +1283,15 @@ def _writer_compression_header(multi_ref: bool) -> CompressionHeader:
         "MQ": enc_external(ids["MQ"]),
         "BA": enc_external(ids["BA"]),
         "BS": enc_external(ids["BS"]),
+        # CIGAR-feature series; declared-but-absent blocks are fine (readers
+        # instantiate codecs lazily, exactly as BA already behaves for
+        # all-mapped slices)
+        "SC": enc_byte_array_stop(0, ids["SC"]),
+        "IN": enc_byte_array_stop(0, ids["IN"]),
+        "DL": enc_external(ids["DL"]),
+        "RS": enc_external(ids["RS"]),
+        "PD": enc_external(ids["PD"]),
+        "HC": enc_external(ids["HC"]),
     }
     if multi_ref:
         series["RI"] = enc_external(ids["RI"])
@@ -1256,6 +1381,35 @@ def _encode_slice(records: list[CramRecord], record_counter: int, method: int,
         if not (r.flag & 0x4):  # mapped
             if r.seq is None:
                 bufs["FN"] += itf8_encode(0)
+            elif not _cigar_is_trivial(r.cigar):
+                # CIGAR-preserving encode: S/I/D/N/H/P become their CRAM
+                # feature codes; M segments substitution-encode vs the
+                # reference when one is at hand, else verbatim stretches.
+                feats = _features_from_cigar(r.cigar, r.seq.encode(),
+                                             ref_fetch, r.ref_id, r.pos)
+                bufs["FN"] += itf8_encode(len(feats))
+                prev_fp = 0
+                for fc, fpos, payload in feats:
+                    bufs["FC"].append(ord(fc))
+                    bufs["FP"] += itf8_encode(fpos - prev_fp)
+                    prev_fp = fpos
+                    if fc == "b":
+                        bufs["BB_len"] += itf8_encode(len(payload))
+                        bufs["BB_val"] += payload
+                    elif fc == "X":
+                        bufs["BS"].append(payload)
+                    elif fc == "S":
+                        bufs["SC"] += payload + b"\x00"
+                    elif fc == "I":
+                        bufs["IN"] += payload + b"\x00"
+                    elif fc == "D":
+                        bufs["DL"] += itf8_encode(payload)
+                    elif fc == "N":
+                        bufs["RS"] += itf8_encode(payload)
+                    elif fc == "P":
+                        bufs["PD"] += itf8_encode(payload)
+                    elif fc == "H":
+                        bufs["HC"] += itf8_encode(payload)
             else:
                 feats = None
                 if ref_fetch is not None:
@@ -1349,8 +1503,14 @@ def write_cram(path, references, records, slice_records: int = 10_000,
     for r in recs:
         if r.rl == 0 and r.seq:
             r.rl = len(r.seq)
+        if r.cigar and r.seq is not None and _cigar_read_len(r.cigar) != r.rl:
+            raise ValueError(
+                f"cram: CIGAR read length {_cigar_read_len(r.cigar)} != "
+                f"rl {r.rl} for {r.name!r}"
+            )
         if r.ref_len == 0 and not (r.flag & 0x4):
-            r.ref_len = r.rl  # verbatim stretches consume ref 1:1
+            # verbatim stretches consume ref 1:1; a CIGAR knows better
+            r.ref_len = _cigar_ref_len(r.cigar) if r.cigar else r.rl
     if sam_header is None:
         sam_header = "@HD\tVN:1.6\tSO:coordinate\n" + "".join(
             f"@SQ\tSN:{name}\tLN:{length}\n" for name, length in references

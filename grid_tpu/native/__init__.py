@@ -110,6 +110,7 @@ def _configure(l: ctypes.CDLL) -> None:
         c.POINTER(c.c_uint8), c.POINTER(c.c_int64),
         c.POINTER(c.c_uint8), c.POINTER(c.c_int64),
         c.POINTER(c.c_uint8), c.POINTER(c.c_int64),
+        c.POINTER(c.c_uint32), c.POINTER(c.c_int64),
         c.c_int32, c.c_char_p,
     ]
     l.grid_ibs_neighbors.restype = c.c_int

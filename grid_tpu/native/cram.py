@@ -42,8 +42,10 @@ def write_cram(path, references, records, slice_records=10_000,
                build_index=True, sam_header=None):
     """Native CRAM 3.0 writer (C++ twin of cramlite.write_cram's verbatim
     mode): packs the records into column arrays and makes ONE ctypes call.
-    No reference-based compression (use the Python writer with a FASTA for
-    substitution features / embedded references).
+    Non-trivial CIGARs are preserved as CRAM features (D/N/I/S/H/P); match
+    runs store verbatim base stretches. No reference-based compression
+    (use the Python writer with a FASTA for substitution features /
+    embedded references).
 
     Args:
         references: [(name, length)].
@@ -80,6 +82,19 @@ def write_cram(path, references, records, slice_records=10_000,
     quals, qual_off = packed([bytes(r.qual) if r.qual is not None else b""
                               for r in recs])
 
+    # BAM-packed CIGARs (len<<4 | op); records without one get zero ops
+    # (encoded all-match, exactly the pre-round-3 behavior)
+    _OPS = {"M": 0, "I": 1, "D": 2, "N": 3, "S": 4, "H": 5, "P": 6,
+            "=": 7, "X": 8}
+    cig_parts = []
+    for r in recs:
+        cig = getattr(r, "cigar", None) or []
+        cig_parts.append([(int(n) << 4) | _OPS[op] for op, n in cig])
+    cig_off = np.zeros(n + 1, np.int64)
+    np.cumsum([len(p) for p in cig_parts], out=cig_off[1:])
+    cig_flat = np.array([v for p in cig_parts for v in p] or [0],
+                        dtype=np.uint32)
+
     def p8(a):
         return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
 
@@ -96,7 +111,9 @@ def write_cram(path, references, records, slice_records=10_000,
         p32(flag), p32(ref_id), p64(pos), p32(mapq), p32(rl),
         p32(mate_ref), p64(mate_pos), p32(tlen),
         p8(names), p64(name_off), p8(seqs), p64(seq_off),
-        p8(quals), p64(qual_off), int(slice_records), crai,
+        p8(quals), p64(qual_off),
+        cig_flat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), p64(cig_off),
+        int(slice_records), crai,
     )
     if rc != 0:
         raise IOError(f"grid_cram_write({path}) failed with code {rc}")

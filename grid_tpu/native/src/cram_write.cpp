@@ -15,6 +15,7 @@
 #include <cstdio>
 #include <cstring>
 #include <set>
+#include <stdexcept>
 #include <string>
 #include <vector>
 
@@ -135,11 +136,13 @@ Bytes container_header(int64_t ref_id, int64_t start, int64_t span,
   return h;
 }
 
-// data-series external-block content ids (must match the Python twin)
+// data-series external-block content ids (must match the Python twin;
+// 20 is cramlite's embedded-reference block id — skipped here)
 enum SeriesId : int32_t {
   S_BF = 1, S_CF = 2, S_RL = 3, S_AP = 4, S_MF = 5, S_NS = 6, S_NP = 7,
   S_TS = 8, S_RN = 9, S_FN = 10, S_FC = 11, S_FP = 12, S_BBLEN = 13,
   S_BBVAL = 14, S_QS = 15, S_MQ = 16, S_BA = 17, S_RI = 18, S_BS = 19,
+  S_SC = 21, S_IN = 22, S_DL = 23, S_RS = 24, S_PD = 25, S_HC = 26,
 };
 
 void enc_external(Bytes& out, const char key[2], int32_t cid) {
@@ -248,6 +251,16 @@ Bytes compression_header(bool multi_ref) {
   EXT("MQ", S_MQ);
   EXT("BA", S_BA);
   EXT("BS", S_BS);
+  // CIGAR-feature series (declared-but-absent blocks are fine — readers
+  // bind codecs lazily, exactly as BA behaves for all-mapped slices)
+  enc_byte_array_stop(ser, "SC", 0x00, S_SC);
+  ++n_series;
+  enc_byte_array_stop(ser, "IN", 0x00, S_IN);
+  ++n_series;
+  EXT("DL", S_DL);
+  EXT("RS", S_RS);
+  EXT("PD", S_PD);
+  EXT("HC", S_HC);
   if (multi_ref) EXT("RI", S_RI);
   Bytes ser_map;
   itf8_encode(ser_map, n_series);
@@ -276,7 +289,33 @@ struct RecView {
   int32_t seq_len;
   const uint8_t* qual;
   int32_t qual_len;
+  const uint32_t* cig;  // BAM packed ops (len<<4 | op), or nullptr
+  int32_t n_cig;
 };
+
+// BAM CIGAR op codes: MIDNSHP=X
+constexpr char kCigChar[9] = {'M', 'I', 'D', 'N', 'S', 'H', 'P', '=', 'X'};
+
+inline bool cig_consumes_read(uint32_t op) {
+  return op == 0 || op == 1 || op == 4 || op == 7 || op == 8;
+}
+inline bool cig_consumes_ref(uint32_t op) {
+  return op == 0 || op == 2 || op == 3 || op == 7 || op == 8;
+}
+inline bool cig_match_like(uint32_t op) { return op == 0 || op == 7 || op == 8; }
+
+inline bool cigar_trivial(const RecView& r) {
+  for (int32_t i = 0; i < r.n_cig; ++i)
+    if (!cig_match_like(r.cig[i] & 0xF)) return false;
+  return true;
+}
+
+inline int64_t cigar_ref_len(const RecView& r) {
+  int64_t n = 0;
+  for (int32_t i = 0; i < r.n_cig; ++i)
+    if (cig_consumes_ref(r.cig[i] & 0xF)) n += r.cig[i] >> 4;
+  return n;
+}
 
 struct SliceMeta {
   int64_t ref_id, start, span, landmark, n_records, n_bases, n_blocks;
@@ -294,8 +333,9 @@ Bytes encode_slice(const std::vector<RecView>& recs, int64_t record_counter,
     for (const auto& r : recs) {
       if (r.ref_id >= 0 && r.pos >= 0) {
         lo = std::min(lo, r.pos + 1);
-        int32_t rl = r.rl > 0 ? r.rl : 1;
-        hi = std::max(hi, r.pos + (int64_t)std::max(rl, 1));
+        int64_t span = r.rl > 0 ? r.rl : 1;
+        if (r.n_cig > 0 && !(r.flag & 0x4)) span = cigar_ref_len(r);
+        hi = std::max(hi, r.pos + std::max<int64_t>(span, 1));
       }
     }
     if (lo != INT64_MAX) {
@@ -305,7 +345,7 @@ Bytes encode_slice(const std::vector<RecView>& recs, int64_t record_counter,
   }
 
   Bytes bf, cf, rl_b, ap, rn, mf, ns, np_b, ts, fn, fc, fp, bblen, bbval, qs,
-      mq, ba, ri;
+      mq, ba, ri, sc, in_b, dl, rs, pd, hc;
   int64_t prev_ap = s_start;
   int64_t n_bases = 0;
   for (const auto& r : recs) {
@@ -331,6 +371,66 @@ Bytes encode_slice(const std::vector<RecView>& recs, int64_t record_counter,
     if (!(r.flag & 0x4)) {  // mapped
       if (r.seq_len == 0) {
         itf8_encode(fn, 0);
+      } else if (r.n_cig > 0 && !cigar_trivial(r)) {
+        // CIGAR-preserving encode (verbatim 'b' stretches for match runs;
+        // S/I/D/N/H/P become their CRAM feature codes). Count features
+        // first: one per op, with adjacent match-like ops merged.
+        int32_t nfeat = 0;
+        for (int32_t i = 0; i < r.n_cig; ++i) {
+          uint32_t op = r.cig[i] & 0xF;
+          if (cig_match_like(op) && i > 0 && cig_match_like(r.cig[i - 1] & 0xF))
+            continue;  // merged into the previous 'b'
+          ++nfeat;
+        }
+        itf8_encode(fn, nfeat);
+        int64_t rp = 1, prev_fp = 0;
+        for (int32_t i = 0; i < r.n_cig; ++i) {
+          uint32_t op = r.cig[i] & 0xF;
+          int64_t n = r.cig[i] >> 4;
+          if (cig_match_like(op)) {
+            // merge the full match-like run into one 'b' stretch
+            if (i > 0 && cig_match_like(r.cig[i - 1] & 0xF)) {
+              // already emitted as part of the run head
+              continue;
+            }
+            int64_t run = 0;
+            for (int32_t j = i; j < r.n_cig && cig_match_like(r.cig[j] & 0xF); ++j)
+              run += r.cig[j] >> 4;
+            if (rp - 1 + run > r.seq_len) throw std::length_error("cigar>seq");
+            fc.push_back('b');
+            itf8_encode(fp, rp - prev_fp);
+            prev_fp = rp;
+            itf8_encode(bblen, run);
+            bbval.insert(bbval.end(), (const uint8_t*)r.seq + rp - 1,
+                         (const uint8_t*)r.seq + rp - 1 + run);
+            rp += run;
+            continue;
+          }
+          char code;
+          Bytes* payload_ba = nullptr;  // byte-array series (stop 0x00)
+          Bytes* payload_int = nullptr; // itf8 length series
+          switch (op) {
+            case 1: code = 'I'; payload_ba = &in_b; break;
+            case 4: code = 'S'; payload_ba = &sc; break;
+            case 2: code = 'D'; payload_int = &dl; break;
+            case 3: code = 'N'; payload_int = &rs; break;
+            case 5: code = 'H'; payload_int = &hc; break;
+            case 6: code = 'P'; payload_int = &pd; break;
+            default: throw std::length_error("bad cigar op");
+          }
+          fc.push_back((uint8_t)code);
+          itf8_encode(fp, rp - prev_fp);
+          prev_fp = rp;
+          if (payload_ba) {
+            if (rp - 1 + n > r.seq_len) throw std::length_error("cigar>seq");
+            payload_ba->insert(payload_ba->end(), (const uint8_t*)r.seq + rp - 1,
+                               (const uint8_t*)r.seq + rp - 1 + n);
+            payload_ba->push_back(0x00);
+            rp += n;
+          } else {
+            itf8_encode(*payload_int, n);
+          }
+        }
       } else {
         itf8_encode(fn, 1);
         fc.push_back('b');  // verbatim base stretch
@@ -357,7 +457,8 @@ Bytes encode_slice(const std::vector<RecView>& recs, int64_t record_counter,
       {S_BF, &bf}, {S_CF, &cf}, {S_RL, &rl_b}, {S_AP, &ap}, {S_MF, &mf},
       {S_NS, &ns}, {S_NP, &np_b}, {S_TS, &ts}, {S_RN, &rn}, {S_FN, &fn},
       {S_FC, &fc}, {S_FP, &fp}, {S_BBLEN, &bblen}, {S_BBVAL, &bbval},
-      {S_QS, &qs}, {S_MQ, &mq}, {S_BA, &ba}, {S_RI, &ri},
+      {S_QS, &qs}, {S_MQ, &mq}, {S_BA, &ba}, {S_RI, &ri}, {S_SC, &sc},
+      {S_IN, &in_b}, {S_DL, &dl}, {S_RS, &rs}, {S_PD, &pd}, {S_HC, &hc},
   };
   for (const auto& [cid, data] : all)
     if (!data->empty()) used.push_back({cid, data});
@@ -397,7 +498,10 @@ Bytes encode_slice(const std::vector<RecView>& recs, int64_t record_counter,
 extern "C" {
 
 // Write a CRAM 3.0 file from packed record columns. Offsets arrays have
-// n_records+1 entries. Returns 0, or a negative error code.
+// n_records+1 entries. cigar/cigar_off may be NULL (all-match encode);
+// when given, cigar holds BAM-packed ops (len<<4 | op) and non-trivial
+// CIGARs are preserved as CRAM features (D/N/I/S/H/P).
+// Returns 0, or a negative error code.
 int grid_cram_write(const char* path, const uint8_t* sam_header,
                     int64_t header_len, int64_t n_records,
                     const int32_t* flag, const int32_t* ref_id,
@@ -407,6 +511,7 @@ int grid_cram_write(const char* path, const uint8_t* sam_header,
                     const uint8_t* names, const int64_t* name_off,
                     const uint8_t* seqs, const int64_t* seq_off,
                     const uint8_t* quals, const int64_t* qual_off,
+                    const uint32_t* cigar, const int64_t* cigar_off,
                     int32_t slice_records, const char* crai_path) try {
   FILE* f = std::fopen(path, "wb");
   if (!f) return -1;
@@ -459,6 +564,13 @@ int grid_cram_write(const char* path, const uint8_t* sam_header,
       r.seq_len = (int32_t)(seq_off[i + 1] - seq_off[i]);
       r.qual = quals + qual_off[i];
       r.qual_len = (int32_t)(qual_off[i + 1] - qual_off[i]);
+      if (cigar && cigar_off) {
+        r.cig = cigar + cigar_off[i];
+        r.n_cig = (int32_t)(cigar_off[i + 1] - cigar_off[i]);
+      } else {
+        r.cig = nullptr;
+        r.n_cig = 0;
+      }
       recs.push_back(r);
     }
     SliceMeta meta{};
