@@ -65,15 +65,24 @@ def make_synthetic_cohort_with_alignments(
     seed: int = 0,
     read_len: int = 100,
     file_type: str = "bam",
+    indel_frac: float = 0.0,
 ):
     """Variant producing real alignment files so the index / count_reads /
     coverage steps run end-to-end on the built-in ingestion paths — no
     pysam, htslib or mosdepth binary required. ``file_type`` selects BAM
-    (grid_tpu.io.bamlite) or CRAM (grid_tpu.io.cramlite)."""
+    (grid_tpu.io.bamlite) or CRAM (grid_tpu.io.cramlite).
+
+    ``indel_frac``: fraction of reads carrying a non-trivial CIGAR
+    (soft-clips, insertions, deletions, a splice) instead of all-M. The
+    indel CIGARs keep the read length at ``read_len`` but change the
+    reference span, so the fast-mode binners' CIGAR-derived ref-span
+    accounting is exercised identically across BAM and CRAM (same rng
+    stream => bit-identical alignments modulo container format)."""
     return _make_cohort(
         out_dir, n_samples, chrom, window_start, window_end, flank_bins, bin_size,
         mean_depth, depth_sd, reads_per_copy, seed, 0.0,
         make_alignments=True, read_len=read_len, file_type=file_type,
+        indel_frac=indel_frac,
     )
 
 
@@ -201,10 +210,21 @@ def make_synthetic_phased_panel(
     }
 
 
+def _indel_cigars(read_len):
+    """Non-trivial CIGARs, all with read length == read_len ([(op, n)])."""
+    l = read_len
+    return [
+        [("M", l - 10), ("D", 4), ("M", 10)],           # deletion
+        [("S", 4), ("M", l - 8), ("S", 4)],             # soft clips
+        [("M", l // 2), ("I", 5), ("M", l - l // 2 - 5)],  # insertion
+        [("M", l // 3), ("N", 60), ("M", l - l // 3)],  # splice gap
+    ]
+
+
 def _make_cohort(
     out_dir, n_samples, chrom, window_start, window_end, flank_bins, bin_size,
     mean_depth, depth_sd, reads_per_copy, seed, missing_frac,
-    make_alignments, read_len, file_type="bam",
+    make_alignments, read_len, file_type="bam", indel_frac=0.0,
 ):
     out = Path(out_dir)
     work = out / "mosdepth_workdir"
@@ -269,6 +289,14 @@ def _make_cohort(
                     int(p) for p in rng.integers(bs, max(be - read_len, bs + 1), size=n_reads)
                 )
             positions.sort()
+            # cigar choices drawn AFTER sorting so the rng stream (and the
+            # resulting alignments) are identical across file types
+            cigs = [None] * len(positions)
+            if indel_frac:
+                cig_set = _indel_cigars(read_len)
+                take = rng.random(size=len(positions)) < indel_frac
+                pick = rng.integers(0, len(cig_set), size=len(positions))
+                cigs = [cig_set[k] if t else None for t, k in zip(take, pick)]
             if file_type == "cram":
                 from grid_tpu.io.cramlite import CramRecord, write_cram
 
@@ -278,8 +306,9 @@ def _make_cohort(
                         ref_id=0, pos=pos, mapq=60, rl=read_len,
                         seq="A" * read_len, qual=b"I" * read_len,
                         mate_ref_id=0, mate_pos=pos + 150, tlen=250,
+                        cigar=cig,
                     )
-                    for j, pos in enumerate(positions)
+                    for j, (pos, cig) in enumerate(zip(positions, cigs))
                 ]
                 # no .crai: the pipeline's index step exercises build_crai
                 write_cram(aln_dir / f"{sid}.cram", [(chrom, chrom_len)], recs,
@@ -291,9 +320,10 @@ def _make_cohort(
                     encode_record(
                         0, pos, 83 if j % 2 == 0 else 147, mapq=60,
                         read_name=f"{sid}r{j}", seq_len=read_len,
+                        cigar=[(int(n), op) for op, n in cig] if cig else None,
                         next_pos=pos + 150,
                     )
-                    for j, pos in enumerate(positions)
+                    for j, (pos, cig) in enumerate(zip(positions, cigs))
                 ]
                 write_bam(aln_dir / f"{sid}.bam", [(chrom, chrom_len)], recs)
 
