@@ -136,16 +136,20 @@ def fetch_reads(path, chrom, start, end, exclude_flags=1796, min_mapq=0):
 
 def ingest(path, out_bed_gz, chrom, start, end, flags, count_min_mapq=1,
            bin_size=1000, exclude_flags=1796, bin_min_mapq=0,
-           skip_zero=False, stage_chrom_prefix=None):
-    """Fused one-pass ingest for BAM (C side: grid_bam_ingest; semantics and
-    per-output parity contracts documented in src/bam.cpp). Returns
-    (count, cov100, starts, ends, depths, refids): the step-2 window read
-    count, the step-3 coverage int, and the staged window bins (depth > 0,
-    rounded-as-written; refids index into ``references(path)``)."""
+           skip_zero=False, stage_chrom_prefix=None, windows=None):
+    """Fused one-pass ingest for BAM (C side: grid_bam_ingest_multi;
+    semantics and per-output parity contracts documented in src/bam.cpp).
+    Returns (count, cov100, starts, ends, depths, refids): the step-2 window
+    read count, the step-3 coverage int, and the staged window bins
+    (depth > 0, rounded-as-written; refids index into ``references(path)``).
+    ``windows`` — optional extra count-only (chrom, start, end) windows (the
+    multi-locus sweep), counted in the SAME scan; when given, the tuple
+    gains a per-window int64 count array."""
     from grid_tpu.native._ingest import ingest_call
 
     return ingest_call(
-        lib().grid_bam_ingest, "grid_bam_ingest", path, out_bed_gz, chrom, start, end,
+        lib().grid_bam_ingest_multi, "grid_bam_ingest_multi", path,
+        out_bed_gz, chrom, start, end,
         flags, count_min_mapq, bin_size, exclude_flags, bin_min_mapq,
-        skip_zero, stage_chrom_prefix,
+        skip_zero, stage_chrom_prefix, windows=windows,
     )

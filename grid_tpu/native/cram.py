@@ -135,18 +135,23 @@ def dump_records(path, cap=1_000_000):
 
 def ingest(path, out_bed_gz, chrom, start, end, flags, count_min_mapq=1,
            bin_size=1000, exclude_flags=1796, bin_min_mapq=0,
-           skip_zero=False, stage_chrom_prefix=None):
-    """Fused one-pass ingest for CRAM (C side: grid_cram_ingest; semantics and
-    per-output parity contracts documented in src/bam.cpp). Returns
-    (count, cov100, starts, ends, depths, refids): the step-2 window read
-    count, the step-3 coverage int, and the staged window bins (depth > 0,
-    rounded-as-written; refids index into ``references(path)``)."""
+           skip_zero=False, stage_chrom_prefix=None, windows=None):
+    """Fused one-pass ingest for CRAM (C side: grid_cram_ingest_multi;
+    semantics and per-output parity contracts documented in src/bam.cpp).
+    Returns (count, cov100, starts, ends, depths, refids): the step-2 window
+    read count, the step-3 coverage int, and the staged window bins
+    (depth > 0, rounded-as-written; refids index into ``references(path)``).
+    ``windows`` — optional extra count-only (chrom, start, end) windows (the
+    multi-locus sweep), counted in the SAME decode pass; when given, the
+    tuple gains a per-window int64 count array (-1 = absent chromosome,
+    written as an Error row like the sequential CRAM count)."""
     from grid_tpu.native._ingest import ingest_call
 
     return ingest_call(
-        lib().grid_cram_ingest, "grid_cram_ingest", path, out_bed_gz, chrom, start, end,
+        lib().grid_cram_ingest_multi, "grid_cram_ingest_multi", path,
+        out_bed_gz, chrom, start, end,
         flags, count_min_mapq, bin_size, exclude_flags, bin_min_mapq,
-        skip_zero, stage_chrom_prefix,
+        skip_zero, stage_chrom_prefix, windows=windows,
     )
 def references(path, max_refs=4096):
     """[(name, length)] from the CRAM SAM header (twin of native.bam.references)."""

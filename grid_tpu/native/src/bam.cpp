@@ -29,6 +29,7 @@
 
 #include "bedwrite.h"
 #include "bgzf.h"
+#include "windows.h"
 
 namespace gridtpu {
 namespace {
@@ -249,7 +250,11 @@ int scan_bam_bins(const char* path, int32_t bin_size, int32_t exclude_flags,
                   std::vector<std::vector<int64_t>>* overlap,
                   const char* count_chrom, int64_t wstart, int64_t wend,
                   const int32_t* flags, int32_t n_flags,
-                  int32_t count_min_mapq, int64_t* out_count) {
+                  int32_t count_min_mapq, int64_t* out_count,
+                  const std::vector<std::string>* win_chroms = nullptr,
+                  const int64_t* win_starts = nullptr,
+                  const int64_t* win_ends = nullptr,
+                  int64_t* win_counts = nullptr) {
   BgzfReader r;
   if (!r.open(path)) return -1;
   if (!read_header(r, hdr)) return -2;
@@ -260,18 +265,33 @@ int scan_bam_bins(const char* path, int32_t bin_size, int32_t exclude_flags,
 
   const bool counting = count_chrom != nullptr && out_count != nullptr;
   int32_t count_tid = counting ? hdr->tid(count_chrom) : -1;
+  // extra count windows (multi-locus sweep): same filter, many windows,
+  // counted in this same pass. Missing chromosome => window stays 0, like
+  // grid_bam_count on an absent chromosome.
+  WindowCounter wc(hdr->refs.size(),
+                   win_chroms ? win_chroms->size() : 0);
+  if (win_chroms) {
+    for (size_t w = 0; w < win_chroms->size(); ++w)
+      wc.add(hdr->tid((*win_chroms)[w].c_str()), win_starts[w], win_ends[w],
+             (int32_t)w);
+    wc.finalize();
+  }
+  const bool multi = win_chroms && !win_chroms->empty();
   std::unordered_set<int32_t> flagset;
-  if (counting && flags) flagset.insert(flags, flags + n_flags);
+  if ((counting || multi) && flags) flagset.insert(flags, flags + n_flags);
   int64_t count = 0;
 
   std::vector<uint8_t> buf;
   Rec rec;
+  const bool any_count = counting || multi;
   while (read_record(r, buf, &rec)) {
-    if (counting && rec.refid == count_tid && flagset.count((int32_t)rec.flag) &&
+    const bool base_ok = any_count && flagset.count((int32_t)rec.flag) &&
         rec.mapq >= count_min_mapq && rec.refid == rec.next_refid &&
-        !(rec.flag & FLAG_DUP) && !(rec.flag & FLAG_SECONDARY) &&
+        !(rec.flag & FLAG_DUP) && !(rec.flag & FLAG_SECONDARY);
+    if (counting && base_ok && rec.refid == count_tid &&
         rec.pos >= wstart && rec.pos < wend)
       ++count;
+    if (multi && base_ok) wc.hit(rec.refid, rec.pos);
     if (rec.refid < 0 || rec.refid >= (int32_t)hdr->refs.size()) continue;
     if (rec.flag & exclude_flags) continue;
     if (rec.mapq < bin_min_mapq) continue;
@@ -286,6 +306,8 @@ int scan_bam_bins(const char* path, int32_t bin_size, int32_t exclude_flags,
     }
   }
   if (out_count) *out_count = count;
+  if (win_counts && win_chroms)
+    std::copy(wc.counts.begin(), wc.counts.end(), win_counts);
   return 0;
 }
 
@@ -411,6 +433,20 @@ int grid_bam_binned_depth(const char* path, const char* out_path, int32_t bin_si
 // the count accepts chr/no-chr alternates (like grid_bam_count).
 // Returns 0, or negative error (-5: bins_cap too small; *out_nbins holds
 // the required size).
+int grid_bam_ingest_multi(const char* path, const char* out_bed,
+                          int32_t bin_size, int32_t exclude_flags,
+                          int32_t bin_min_mapq, int32_t skip_zero,
+                          const char* chrom, int64_t wstart, int64_t wend,
+                          const int32_t* flags, int32_t n_flags,
+                          int32_t count_min_mapq,
+                          const char* stage_chrom_prefix, int64_t* out_count,
+                          int64_t* out_cov100, int32_t* bins_refid,
+                          int64_t* bins_start, int64_t* bins_end,
+                          double* bins_depth, int64_t bins_cap,
+                          int64_t* out_nbins, const char* win_chroms,
+                          const int64_t* win_starts, const int64_t* win_ends,
+                          int32_t n_windows, int64_t* win_counts);
+
 int grid_bam_ingest(const char* path, const char* out_bed, int32_t bin_size,
                     int32_t exclude_flags, int32_t bin_min_mapq,
                     int32_t skip_zero, const char* chrom, int64_t wstart,
@@ -420,11 +456,44 @@ int grid_bam_ingest(const char* path, const char* out_bed, int32_t bin_size,
                     int32_t* bins_refid, int64_t* bins_start,
                     int64_t* bins_end, double* bins_depth, int64_t bins_cap,
                     int64_t* out_nbins) {
+  return grid_bam_ingest_multi(
+      path, out_bed, bin_size, exclude_flags, bin_min_mapq, skip_zero, chrom,
+      wstart, wend, flags, n_flags, count_min_mapq, stage_chrom_prefix,
+      out_count, out_cov100, bins_refid, bins_start, bins_end, bins_depth,
+      bins_cap, out_nbins, nullptr, nullptr, nullptr, 0, nullptr);
+}
+
+// grid_bam_ingest plus N extra count-only windows (the multi-locus sweep:
+// every catalog locus' step-2 count is a byproduct of the ONE genome scan,
+// replacing the reference's per-locus indexed fetch per sample). Extra
+// windows: win_chroms is a NUL-separated buffer of n_windows names
+// (chr/no-chr alternates accepted); win_counts[w] receives the window's
+// count (0 when the chromosome is absent, like grid_bam_count). The primary
+// window keeps the full single-window contract (count + coverage + staged
+// bins + bed.gz).
+int grid_bam_ingest_multi(const char* path, const char* out_bed,
+                          int32_t bin_size, int32_t exclude_flags,
+                          int32_t bin_min_mapq, int32_t skip_zero,
+                          const char* chrom, int64_t wstart, int64_t wend,
+                          const int32_t* flags, int32_t n_flags,
+                          int32_t count_min_mapq,
+                          const char* stage_chrom_prefix, int64_t* out_count,
+                          int64_t* out_cov100, int32_t* bins_refid,
+                          int64_t* bins_start, int64_t* bins_end,
+                          double* bins_depth, int64_t bins_cap,
+                          int64_t* out_nbins, const char* win_chroms,
+                          const int64_t* win_starts, const int64_t* win_ends,
+                          int32_t n_windows, int64_t* win_counts) {
   BamHeader hdr;
   std::vector<std::vector<int64_t>> overlap;
+  std::vector<std::string> wnames;
+  if (win_chroms && n_windows > 0)
+    wnames = split_names(win_chroms, n_windows);
   int rc = scan_bam_bins(path, bin_size, exclude_flags, bin_min_mapq, &hdr,
                          &overlap, chrom, wstart, wend, flags, n_flags,
-                         count_min_mapq, out_count);
+                         count_min_mapq, out_count,
+                         wnames.empty() ? nullptr : &wnames, win_starts,
+                         win_ends, win_counts);
   if (rc != 0) return rc;
 
   auto refs = refs_as_pairs(hdr);

@@ -25,6 +25,7 @@
 #include <vector>
 
 #include "bedwrite.h"
+#include "windows.h"
 
 namespace {
 
@@ -1089,15 +1090,18 @@ int scan_cram_bins(CramFile& cf, int32_t bin_size, int32_t exclude_flags,
                    std::vector<std::vector<int64_t>>* overlap,
                    int32_t count_ref, int64_t wstart, int64_t wend,
                    const int32_t* flags, int32_t n_flags,
-                   int32_t count_min_mapq, int64_t* out_count) {
+                   int32_t count_min_mapq, int64_t* out_count,
+                   gridtpu::WindowCounter* wc = nullptr) {
   overlap->assign(cf.refs.size(), {});
   for (size_t i = 0; i < cf.refs.size(); ++i)
     (*overlap)[i].assign((size_t)((cf.refs[i].second + bin_size - 1) / bin_size), 0);
 
   const bool counting = out_count != nullptr && count_ref >= 0;
+  const bool multi = wc != nullptr && !wc->empty();
   std::set<int32_t> fset;
-  if (counting && flags) fset.insert(flags, flags + n_flags);
+  if ((counting || multi) && flags) fset.insert(flags, flags + n_flags);
   int64_t count = 0;
+  const bool any_count = counting || multi;
 
   std::vector<LiteRec> recs;
   int rc = cf.for_each_container(
@@ -1105,10 +1109,13 @@ int scan_cram_bins(CramFile& cf, int32_t bin_size, int32_t exclude_flags,
         recs.clear();
         if (!cf.decode_container(h, body, {}, recs)) return -11;
         for (const auto& r : recs) {
-          if (counting && r.ref_id == count_ref && fset.count(r.flag) &&
+          const bool base_ok = any_count && fset.count(r.flag) &&
               r.mapq >= count_min_mapq && r.mate_ref == r.ref_id &&
-              !(r.flag & (0x400 | 0x100)) && r.pos >= wstart && r.pos < wend)
+              !(r.flag & (0x400 | 0x100));
+          if (counting && base_ok && r.ref_id == count_ref &&
+              r.pos >= wstart && r.pos < wend)
             ++count;
+          if (multi && base_ok) wc->hit(r.ref_id, r.pos);
           if (r.ref_id < 0 || r.ref_id >= (int32_t)cf.refs.size()) continue;
           if (r.flag & exclude_flags) continue;
           if (r.mapq < bin_min_mapq) continue;
@@ -1215,6 +1222,20 @@ int32_t grid_cram_refs(const char* path, char* names_out, int64_t cap,
 // decode pass. Twin of grid_bam_ingest (see bam.cpp for the semantics and
 // the per-output parity contracts). Returns 0 or a negative error
 // (-5: bins_cap too small; *out_nbins holds the required size).
+int grid_cram_ingest_multi(const char* path, const char* out_bed,
+                           int32_t bin_size, int32_t exclude_flags,
+                           int32_t bin_min_mapq, int32_t skip_zero,
+                           const char* chrom, int64_t wstart, int64_t wend,
+                           const int32_t* flags, int32_t n_flags,
+                           int32_t count_min_mapq,
+                           const char* stage_chrom_prefix, int64_t* out_count,
+                           int64_t* out_cov100, int32_t* bins_refid,
+                           int64_t* bins_start, int64_t* bins_end,
+                           double* bins_depth, int64_t bins_cap,
+                           int64_t* out_nbins, const char* win_chroms,
+                           const int64_t* win_starts, const int64_t* win_ends,
+                           int32_t n_windows, int64_t* win_counts);
+
 int grid_cram_ingest(const char* path, const char* out_bed, int32_t bin_size,
                      int32_t exclude_flags, int32_t bin_min_mapq,
                      int32_t skip_zero, const char* chrom, int64_t wstart,
@@ -1223,7 +1244,32 @@ int grid_cram_ingest(const char* path, const char* out_bed, int32_t bin_size,
                      int64_t* out_count, int64_t* out_cov100,
                      int32_t* bins_refid, int64_t* bins_start,
                      int64_t* bins_end, double* bins_depth, int64_t bins_cap,
-                     int64_t* out_nbins) try {
+                     int64_t* out_nbins) {
+  return grid_cram_ingest_multi(
+      path, out_bed, bin_size, exclude_flags, bin_min_mapq, skip_zero, chrom,
+      wstart, wend, flags, n_flags, count_min_mapq, stage_chrom_prefix,
+      out_count, out_cov100, bins_refid, bins_start, bins_end, bins_depth,
+      bins_cap, out_nbins, nullptr, nullptr, nullptr, 0, nullptr);
+}
+
+// grid_cram_ingest plus N extra count-only windows — CRAM twin of
+// grid_bam_ingest_multi (see bam.cpp for the multi-window contract). A
+// window whose chromosome is absent gets count -1 (the Python layer writes
+// an Error counts row, matching the sequential CRAM count path, which
+// raises on an unknown chromosome; BAM counts 0 — per-format parity).
+int grid_cram_ingest_multi(const char* path, const char* out_bed,
+                           int32_t bin_size, int32_t exclude_flags,
+                           int32_t bin_min_mapq, int32_t skip_zero,
+                           const char* chrom, int64_t wstart, int64_t wend,
+                           const int32_t* flags, int32_t n_flags,
+                           int32_t count_min_mapq,
+                           const char* stage_chrom_prefix, int64_t* out_count,
+                           int64_t* out_cov100, int32_t* bins_refid,
+                           int64_t* bins_start, int64_t* bins_end,
+                           double* bins_depth, int64_t bins_cap,
+                           int64_t* out_nbins, const char* win_chroms,
+                           const int64_t* win_starts, const int64_t* win_ends,
+                           int32_t n_windows, int64_t* win_counts) try {
   CramFile cf;
   if (!cf.open(path)) return -1;
   int32_t count_ref = cf.ref_index(chrom);  // chr/no-chr alternates OK
@@ -1231,11 +1277,30 @@ int grid_cram_ingest(const char* path, const char* out_bed, int32_t bin_size,
   // CRAM path raises and records an Error counts row; BAM counts 0 —
   // each format's fused behavior matches its sequential behavior)
   if (count_ref < 0) return -4;
+  gridtpu::WindowCounter wc(cf.refs.size(), (size_t)std::max(n_windows, 0));
+  if (win_chroms && n_windows > 0) {
+    auto wnames = gridtpu::split_names(win_chroms, n_windows);
+    for (int32_t w = 0; w < n_windows; ++w) {
+      // EXACT name match only — grid_cram_count raises on a name mismatch
+      // (including chr/no-chr), so the window marks -1 and the caller
+      // writes the same Error row the sequential per-locus count would.
+      int32_t tid = cf.ref_index(wnames[w].c_str());
+      if (tid < 0) {
+        wc.counts[w] = -1;  // absent chromosome: Error row downstream
+        continue;
+      }
+      wc.add(tid, win_starts[w], win_ends[w], w);
+    }
+    wc.finalize();
+  }
   std::vector<std::vector<int64_t>> overlap;
   int rc = scan_cram_bins(cf, bin_size, exclude_flags, bin_min_mapq, &overlap,
                           count_ref, wstart, wend, flags, n_flags,
-                          count_min_mapq, out_count);
+                          count_min_mapq, out_count,
+                          (win_chroms && n_windows > 0) ? &wc : nullptr);
   if (rc != 0) return rc;
+  if (win_counts && n_windows > 0)
+    std::copy(wc.counts.begin(), wc.counts.end(), win_counts);
 
   int32_t cov_ref = -1;
   for (size_t i = 0; i < cf.refs.size(); ++i)

@@ -104,16 +104,17 @@ def ring_knn(z, k: int, mesh, row_valid=None, payloads=()):
 
         # Constant-initialized carries must be marked device-varying over the
         # mesh axis (jax>=0.8 shard_map vma typing), since the loop outputs are.
+        if hasattr(jax.lax, "pcast"):  # jax>=0.9 name; pvary deprecated
+            _vary = lambda x: jax.lax.pcast(x, COHORT_AXIS, to="varying")
+        else:
+            _vary = lambda x: jax.lax.pvary(x, COHORT_AXIS)
         init = (
             z_local,
             valid_local,
             tuple(pay_local),
-            jax.lax.pvary(jnp.full((b, k), big, dtype=z_local.dtype), COHORT_AXIS),
-            jax.lax.pvary(jnp.zeros((b, k), dtype=jnp.int32), COHORT_AXIS),
-            tuple(
-                jax.lax.pvary(jnp.zeros((b, k), dtype=p.dtype), COHORT_AXIS)
-                for p in pay_local
-            ),
+            _vary(jnp.full((b, k), big, dtype=z_local.dtype)),
+            _vary(jnp.zeros((b, k), dtype=jnp.int32)),
+            tuple(_vary(jnp.zeros((b, k), dtype=p.dtype)) for p in pay_local),
         )
         _, _, _, best_d, best_i, best_p = jax.lax.fori_loop(0, n_dev, step, init)
         return (best_d, best_i) + best_p
