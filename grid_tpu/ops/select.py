@@ -208,6 +208,67 @@ def dipcn_from_distances(d2, rnorm, nbr_w, col_usable, sample_valid,
     return dipcn, out_valid
 
 
+@partial(jax.jit, static_argnames=("k", "n_nbr"))
+def dipcn_from_distances_multi(d2, rnorm, nbr_w, col_usable, sample_valid,
+                               k: int, n_nbr: int):
+    """Threshold dipCN for MANY loci against ONE distance geometry.
+
+    The multi-locus sweep (grid_tpu extension; the reference is strictly
+    single-locus) shares steps 4-5 across loci — the neighbor structure
+    depends only on the depth matrix — so per-locus step 6 differs ONLY in
+    the read-count weights. With a shared ``col_usable`` (the one-pass
+    multi-window ingest guarantees it: a sample errors for all windows of a
+    scan or none), the threshold/tie-cut machinery of
+    :func:`dipcn_from_distances` is locus-independent and the L masked sums
+    collapse into ONE [N, N] @ [N, L] matmul — an MXU op, so 734 catalog
+    loci cost barely more than one.
+
+    Per-locus results match :func:`dipcn_from_distances` run in a loop up
+    to f32/f64 summation order (the matmul accumulates in a different
+    order than the masked row sum; rtol ~1e-9 at f64, ~1e-6 at f32).
+
+    Args:
+        d2: [N, N] pairwise squared distances (self/invalid-row columns set
+            to a large FINITE value).
+        rnorm: [N, L] reads_i / scale_i per locus.
+        nbr_w: [N, L] per-column contribution per locus.
+        col_usable: [N] bool — SHARED across loci (group loci by usability
+            pattern and call once per group when it is not).
+        sample_valid: [N, L] bool.
+        k / n_nbr: neighbor-list length and averaging depth.
+
+    Returns (dipcn [N, L], out_valid [N, L]).
+    """
+    key_type = _KEY_TYPES.get(jnp.dtype(d2.dtype))
+    if key_type is None:
+        raise ValueError(f"unsupported dtype {d2.dtype}")
+    big = jnp.asarray(jnp.iinfo(key_type).max, key_type)
+
+    in_sk = smallest_k_mask(d2, k)
+    u = jax.lax.bitcast_convert_type(d2, key_type)
+    uu = jnp.where(in_sk & col_usable[None, :], u, big)
+
+    cnt_usable = jnp.sum((uu < big).astype(jnp.int32), axis=1)
+    m_eff = jnp.minimum(cnt_usable, n_nbr)
+
+    t_m = _kth_smallest_key(uu, m_eff)
+    below = uu < t_m[:, None]
+    at = uu == t_m[:, None]
+    need = m_eff - jnp.sum(below.astype(jnp.int32), axis=1)
+    cut = _tie_cut_column(at, need)
+    cols = jax.lax.broadcasted_iota(jnp.int32, uu.shape, 1)
+    take = below | (at & (cols <= cut[:, None]))
+    take = take & (m_eff > 0)[:, None]
+
+    w = jnp.asarray(nbr_w, d2.dtype)  # [N, L]
+    tot = jnp.dot(take.astype(d2.dtype), w,
+                  preferred_element_type=d2.dtype)  # [N, L] — the MXU op
+    nbr_mean = tot / jnp.maximum(m_eff, 1)[:, None]
+    dipcn = jnp.asarray(rnorm, d2.dtype) / nbr_mean
+    out_valid = jnp.asarray(sample_valid, bool) & (m_eff > 0)[:, None]
+    return dipcn, out_valid
+
+
 @partial(jax.jit, static_argnames=("k", "n_nbr", "row_block"))
 def dipcn_from_distances_panels(zp, rnorm, nbr_w, col_usable, sample_valid,
                                 k: int, n_nbr: int, row_block: int = 512,
@@ -232,7 +293,9 @@ def dipcn_from_distances_panels(zp, rnorm, nbr_w, col_usable, sample_valid,
 
     Args:
         zp: [N, R] prepared z (clipped/filled/region-masked, ops/knn.prepare_z).
-        rnorm: [N] reads_i / scale_i.
+        rnorm: [N] reads_i / scale_i — or [N, L] for the multi-locus form
+            (see :func:`dipcn_from_distances_multi`; nbr_w and sample_valid
+            must then be [N, L] too, and the outputs gain the L axis).
         nbr_w: [N] neighbor contribution per column.
         col_usable: [N] bool — column may be averaged.
         sample_valid: [N] bool — output validity per row.
@@ -251,15 +314,22 @@ def dipcn_from_distances_panels(zp, rnorm, nbr_w, col_usable, sample_valid,
     n = zp.shape[0]
     dt = zp.dtype
     big = jnp.asarray(jnp.finfo(dt).max, dt)
+    rnorm = jnp.asarray(rnorm, dt)
+    multi = rnorm.ndim == 2
     out_valid = jnp.asarray(sample_valid, bool)
-    geom = out_valid if row_valid is None else jnp.asarray(row_valid, bool)
+    geom = (
+        (out_valid if not multi else out_valid.any(axis=1))
+        if row_valid is None
+        else jnp.asarray(row_valid, bool)
+    )
 
     b = min(row_block, n)
     n_pad = ((n + b - 1) // b) * b
     pad = n_pad - n
     zp_p = jnp.pad(zp, ((0, pad), (0, 0)))
-    rnorm_p = jnp.pad(jnp.asarray(rnorm, dt), (0, pad))
-    valid_p = jnp.pad(out_valid, (0, pad))
+    row_pad = ((0, pad), (0, 0)) if multi else (0, pad)
+    rnorm_p = jnp.pad(rnorm, row_pad)
+    valid_p = jnp.pad(out_valid, row_pad)
 
     col_sq = jnp.sum(zp * zp, axis=1)  # [N]
     w = jnp.asarray(nbr_w, dt)
@@ -278,12 +348,16 @@ def dipcn_from_distances_panels(zp, rnorm, nbr_w, col_usable, sample_valid,
         # columns only (+ self), exactly d2_matrix(row_valid=...): invalid
         # ROWS keep their real distances and are gated by sample_valid
         d2 = jnp.where(self_mask | ~geom[None, :], big, d2)
-        dip, ok = dipcn_from_distances(d2, rrow, w, usable, vrow, k=k, n_nbr=n_nbr)
+        core = dipcn_from_distances_multi if multi else dipcn_from_distances
+        dip, ok = core(d2, rrow, w, usable, vrow, k=k, n_nbr=n_nbr)
         return carry, (dip, ok)
 
     _, (dips, oks) = jax.lax.scan(
         panel, None, jnp.arange(n_pad // b, dtype=jnp.int32)
     )
+    if multi:
+        l = rnorm.shape[1]
+        return dips.reshape(-1, l)[:n], oks.reshape(-1, l)[:n]
     return dips.reshape(-1)[:n], oks.reshape(-1)[:n]
 
 

@@ -86,6 +86,11 @@ def run_fused_ingest(config, console=None, collect_staged=True):
     accumulation and returns staged=None — the pipeline passes it when the
     normalize step will use the bounded-memory streaming stager, whose
     whole point is not holding per-sample arrays for the full cohort.
+
+    The private ``_extra_count_windows`` config key (list of dicts with
+    chrom/start/end/counts_path) adds count-only windows — the multi-locus
+    sweep's per-locus step-2 counts, each a byproduct of the same scan
+    (native grid_*_ingest_multi), each written as its own counts TSV.
     """
     directory_loc = config["directory_loc"]
     samples = read_samples(config["samples_file"])
@@ -105,6 +110,17 @@ def run_fused_ingest(config, console=None, collect_staged=True):
             Path(f"{out_dir}/{config.get('count_reads', {}).get('output_file_prefix')}.{out_type}"),
             chrom, start, end,
         )
+
+    # extra count-only windows (the multi-locus sweep, steps/multilocus.py):
+    # every window's step-2 count is a byproduct of the SAME native scan
+    # (grid_*_ingest_multi), one counts TSV per window. Private key, same
+    # convention as _ingest_staged.
+    extras = config.get("_extra_count_windows") or []
+    extra_paths = [
+        setup_output_file(Path(w["counts_path"]), w["chrom"], w["start"], w["end"])
+        for w in extras
+    ]
+    extra_wins = [(w["chrom"], w["start"], w["end"]) for w in extras]
     mcfg = config.get("mosdepth", {})
     coverage_path = setup_output_file(
         Path(f"{out_dir}/{mcfg.get('output_file_prefix')}.{out_type}"),
@@ -138,9 +154,17 @@ def run_fused_ingest(config, console=None, collect_staged=True):
         bed = work_dir / f"{Path(path).stem}_{region_name}.regions.bed.gz"
         try:
             backend = _ingest_backend(path)
-            count, cov100, starts, ends, depths, refids = backend.ingest(
+            out = backend.ingest(
                 path, str(bed), chrom, start, end, flags, count_min_mapq,
                 bin_size=by, skip_zero=sparse_bed,
+                windows=extra_wins or None,
+            )
+            count, cov100, starts, ends, depths, refids = out[:6]
+            # -1 marks a window whose chromosome the per-format sequential
+            # counter would raise on (CRAM exact-name semantics)
+            wcounts = (
+                [int(c) if c >= 0 else "Error" for c in out[6]]
+                if extra_wins else []
             )
             if excluded:
                 names = [norm_chrom(n) for n, _ in backend.references(path)]
@@ -149,7 +173,7 @@ def run_fused_ingest(config, console=None, collect_staged=True):
                     for r, s, e in zip(refids, starts, ends)
                 ], dtype=bool) if len(refids) else np.ones(0, bool)
                 starts, ends, depths = starts[keep], ends[keep], depths[keep]
-            return count, cov100, (starts, ends, depths)
+            return count, cov100, (starts, ends, depths), wcounts
         except Exception:
             # per-sample fallback (CLAUDE.md invariant: no hard native
             # requirement): run this sample through the SEQUENTIAL per-step
@@ -174,6 +198,15 @@ def run_fused_ingest(config, console=None, collect_staged=True):
                     log(console, f"count fallback failed for {sample}: {e}",
                         style="danger")
                     count = "Error"
+            wcounts = []
+            for (wc_chrom, wc_start, wc_end) in extra_wins:
+                try:
+                    wcounts.append(count_reads_in_region(
+                        path, config.get("reference_genome"), wc_chrom,
+                        wc_start, wc_end, flags, count_min_mapq,
+                    ))
+                except Exception:
+                    wcounts.append("Error")
             try:
                 cov100 = run_coverage_single(
                     path, config.get("reference_genome"), work_dir, chrom,
@@ -183,11 +216,11 @@ def run_fused_ingest(config, console=None, collect_staged=True):
                 starts, ends, depths = read_regions_bed_gz(
                     bed, chrom, start, end, excluded
                 )
-                return count, cov100, (starts, ends, depths)
+                return count, cov100, (starts, ends, depths), wcounts
             except Exception as e:
                 log(console, f"coverage fallback failed for {sample}: {e}",
                     style="danger")
-                return count, None, None
+                return count, None, None, wcounts
 
     with progress_bar(console, total=len(files), description="Ingesting (one pass)") as (progress, task):
         with ThreadPoolExecutor(max_workers=max(1, threads)) as executor:
@@ -198,16 +231,20 @@ def run_fused_ingest(config, console=None, collect_staged=True):
             for future in as_completed(futures):
                 sample = futures[future]
                 try:
-                    count, cov100, arrays = future.result()
+                    count, cov100, arrays, wcounts = future.result()
                 except Exception as e:  # catch-all: fallback itself died
                     log(console, f"✗ {sample} ingest failed: {e}", style="danger")
                     count, cov100, arrays = "Error", None, None
+                    wcounts = ["Error"] * len(extra_wins)
                 if cov100 is None:
                     failed.append(sample)
                 with write_lock:
                     if do_counts:
                         with open(counts_path, "a") as f:
                             f.write(f"{sample}\t{count}\n")
+                    for p, wcount in zip(extra_paths, wcounts):
+                        with open(p, "a") as f:
+                            f.write(f"{sample}\t{wcount}\n")
                     if cov100 is not None:
                         with open(coverage_path, "a", newline="") as f:
                             f.write(f"{sample}\t{cov100}\n")

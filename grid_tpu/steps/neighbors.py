@@ -18,7 +18,16 @@ from grid_tpu.utils.logging import log
 from grid_tpu.utils.timing import step_timer
 
 
-def find_neighbors(config, console=None):
+def load_neighbor_geometry(config, console=None):
+    """The distance geometry of the neighbors step, straight from the
+    WRITTEN normalized matrix: (sample_ids, zp, scales, r_use, k).
+
+    ``zp`` is the [N, R_use] prepared z (clip/fill + variance filter) whose
+    pairwise distances define both the neighbor lists this step writes and
+    the gather-free threshold dipCN — one source of truth, so the batched
+    multi-locus dipCN (steps/multilocus.py) cannot drift from
+    :func:`find_neighbors`.
+    """
     ncfg = config["mosdepth"]["neighbors"]
     zmax = ncfg.get("zmax", 2.0)
     sigma2_max = ncfg.get("sigma2_max", 1000.0)
@@ -29,8 +38,6 @@ def find_neighbors(config, console=None):
     output_file_type = config.get("output_file_type", "tsv")
     output_dir = config.get("output_dir", ".")
     input_file = f"{output_dir}/{input_file_prefix}.{output_file_type}.gz"
-    output_prefix = ncfg.get("output_file_prefix", "neighbor_coverage")
-    output_file = neighbors_filename(output_dir, output_prefix, zmax, output_file_type)
 
     sample_ids, sigma2ratios, data_matrix, scales = read_normalized_data(input_file)
     n = len(sample_ids)
@@ -40,13 +47,28 @@ def find_neighbors(config, console=None):
     if extreme:
         log(console, f"Removed {extreme} / {len(sigma2ratios)} regions with sigma2ratio > {sigma2_max}", style="warning")
 
+    mask = ~np.isnan(data_matrix)
+    with step_device(config, data_matrix.size):
+        zp = prepare_z(jnp.asarray(np.nan_to_num(data_matrix)), jnp.asarray(mask), zmax)
+        zp = zp[:, valid_indices]
+    k = min(n_neighbors, n - 1)
+    return sample_ids, zp, scales, r_use, k
+
+
+def find_neighbors(config, console=None):
+    ncfg = config["mosdepth"]["neighbors"]
+    zmax = ncfg.get("zmax", 2.0)
+    output_file_type = config.get("output_file_type", "tsv")
+    output_dir = config.get("output_dir", ".")
+    output_prefix = ncfg.get("output_file_prefix", "neighbor_coverage")
+    output_file = neighbors_filename(output_dir, output_prefix, zmax, output_file_type)
+
+    sample_ids, zp, scales, r_use, k = load_neighbor_geometry(config, console)
+    n = len(sample_ids)
+
     with step_timer("neighbors.device", console=None):
-        mask = ~np.isnan(data_matrix)
-        with step_device(config, data_matrix.size + data_matrix.shape[0] ** 2):
-            z = prepare_z(jnp.asarray(np.nan_to_num(data_matrix)), jnp.asarray(mask), zmax)
-            z = z[:, valid_indices]
-            k = min(n_neighbors, n - 1)
-            sq_dists, idx = knn_squared(z, k)
+        with step_device(config, zp.size + zp.shape[0] ** 2):
+            sq_dists, idx = knn_squared(zp, k)
             sq_dists = np.asarray(sq_dists)
             idx = np.asarray(idx)
 

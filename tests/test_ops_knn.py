@@ -343,3 +343,99 @@ class TestMultiwayBisect:
                     idx = np.where(cs >= need[i])[0]
                     want = idx[0] if len(idx) else w - 1
                     assert got[i] == want
+
+
+class TestMultiLocusDipcn:
+    """dipcn_from_distances_multi: L loci against one distance geometry must
+    equal the single-locus threshold dipCN run per locus (the L masked sums
+    collapse into one [N, N] @ [N, L] matmul; accumulation-order tolerance
+    only)."""
+
+    def _setup(self, n=60, r=12, l=7, seed=0):
+        rng = np.random.default_rng(seed)
+        zp = np.round(rng.normal(size=(n, r)) * 4) / 4  # tie-heavy
+        zp = zp.astype(np.float64)
+        reads = rng.integers(50, 400, (n, l)).astype(np.float64)
+        scales = rng.uniform(0.5, 2.0, n)
+        w = reads / scales[:, None]
+        usable = rng.random(n) > 0.25
+        sample_valid = (rng.random((n, l)) > 0.1) & usable[:, None]
+        return zp, w, usable, sample_valid
+
+    def test_matches_single_locus_loop(self):
+        from grid_tpu.ops.knn import d2_matrix
+        from grid_tpu.ops.select import (
+            dipcn_from_distances,
+            dipcn_from_distances_multi,
+        )
+
+        zp, w, usable, sample_valid = self._setup()
+        k, n_nbr = 14, 5
+        d2 = d2_matrix(jnp.asarray(zp))
+        got, got_ok = dipcn_from_distances_multi(
+            d2, jnp.asarray(w), jnp.asarray(w), jnp.asarray(usable),
+            jnp.asarray(sample_valid), k=k, n_nbr=n_nbr,
+        )
+        got, got_ok = np.asarray(got), np.asarray(got_ok)
+        assert got.shape == w.shape and got_ok.shape == w.shape
+        for locus in range(w.shape[1]):
+            want, want_ok = dipcn_from_distances(
+                d2, jnp.asarray(w[:, locus]), jnp.asarray(w[:, locus]),
+                jnp.asarray(usable), jnp.asarray(sample_valid[:, locus]),
+                k=k, n_nbr=n_nbr,
+            )
+            np.testing.assert_array_equal(got_ok[:, locus], np.asarray(want_ok))
+            ok = np.asarray(want_ok)
+            np.testing.assert_allclose(
+                got[ok, locus], np.asarray(want)[ok], rtol=1e-9
+            )
+
+    def test_panels_multi_matches_resident_multi(self):
+        from grid_tpu.ops.knn import d2_matrix
+        from grid_tpu.ops.select import (
+            dipcn_from_distances_multi,
+            dipcn_from_distances_panels,
+        )
+
+        zp, w, usable, sample_valid = self._setup(n=53, l=4, seed=5)
+        row_valid = np.random.default_rng(9).random(53) > 0.1
+        k, n_nbr = 11, 4
+        d2 = d2_matrix(jnp.asarray(zp), row_valid=jnp.asarray(row_valid))
+        want, want_ok = dipcn_from_distances_multi(
+            d2, jnp.asarray(w), jnp.asarray(w), jnp.asarray(usable),
+            jnp.asarray(sample_valid), k=k, n_nbr=n_nbr,
+        )
+        got, got_ok = dipcn_from_distances_panels(
+            jnp.asarray(zp), jnp.asarray(w), jnp.asarray(w),
+            jnp.asarray(usable), jnp.asarray(sample_valid),
+            k=k, n_nbr=n_nbr, row_block=16, row_valid=jnp.asarray(row_valid),
+        )
+        np.testing.assert_array_equal(np.asarray(want_ok), np.asarray(got_ok))
+        ok = np.asarray(want_ok)
+        np.testing.assert_allclose(
+            np.asarray(want)[ok], np.asarray(got)[ok], rtol=1e-12
+        )
+
+    def test_single_column_multi_equals_single(self):
+        """L=1 multi must agree with the single-locus function elementwise."""
+        from grid_tpu.ops.knn import d2_matrix
+        from grid_tpu.ops.select import (
+            dipcn_from_distances,
+            dipcn_from_distances_multi,
+        )
+
+        zp, w, usable, sample_valid = self._setup(n=30, l=1, seed=2)
+        d2 = d2_matrix(jnp.asarray(zp))
+        got, got_ok = dipcn_from_distances_multi(
+            d2, jnp.asarray(w), jnp.asarray(w), jnp.asarray(usable),
+            jnp.asarray(sample_valid), k=8, n_nbr=3,
+        )
+        want, want_ok = dipcn_from_distances(
+            d2, jnp.asarray(w[:, 0]), jnp.asarray(w[:, 0]),
+            jnp.asarray(usable), jnp.asarray(sample_valid[:, 0]), k=8, n_nbr=3,
+        )
+        np.testing.assert_array_equal(np.asarray(got_ok)[:, 0], np.asarray(want_ok))
+        ok = np.asarray(want_ok)
+        np.testing.assert_allclose(
+            np.asarray(got)[ok, 0], np.asarray(want)[ok], rtol=1e-12
+        )
