@@ -60,12 +60,22 @@ inline long long bed_depth_cents(double x) {
 }
 
 // libdeflate, resolved at runtime so the build needs zlib + dl only.
+// decompress(...) returns 0 (LIBDEFLATE_SUCCESS) on success.
 struct LibDeflateApi {
   void* (*alloc_compressor)(int) = nullptr;
   size_t (*deflate_compress)(void*, const void*, size_t, void*, size_t) = nullptr;
   uint32_t (*crc32)(uint32_t, const void*, size_t) = nullptr;
   void (*free_compressor)(void*) = nullptr;
-  bool ok = false;
+  void* (*alloc_decompressor)() = nullptr;
+  int (*deflate_decompress)(void*, const void*, size_t, void*, size_t,
+                            size_t*) = nullptr;
+  int (*gzip_decompress)(void*, const void*, size_t, void*, size_t,
+                         size_t*) = nullptr;
+  int (*zlib_decompress)(void*, const void*, size_t, void*, size_t,
+                         size_t*) = nullptr;
+  void (*free_decompressor)(void*) = nullptr;
+  bool ok = false;          // compression side usable
+  bool ok_inflate = false;  // decompression side usable
 };
 
 inline const LibDeflateApi& libdeflate_api() {
@@ -83,9 +93,29 @@ inline const LibDeflateApi& libdeflate_api() {
     a.free_compressor = (void (*)(void*))dlsym(h, "libdeflate_free_compressor");
     a.ok = a.alloc_compressor && a.deflate_compress && a.crc32 &&
            a.free_compressor;
+    using dec_fn = int (*)(void*, const void*, size_t, void*, size_t, size_t*);
+    a.alloc_decompressor =
+        (void* (*)())dlsym(h, "libdeflate_alloc_decompressor");
+    a.deflate_decompress = (dec_fn)dlsym(h, "libdeflate_deflate_decompress");
+    a.gzip_decompress = (dec_fn)dlsym(h, "libdeflate_gzip_decompress");
+    a.zlib_decompress = (dec_fn)dlsym(h, "libdeflate_zlib_decompress");
+    a.free_decompressor =
+        (void (*)(void*))dlsym(h, "libdeflate_free_decompressor");
+    a.ok_inflate = a.alloc_decompressor && a.deflate_decompress &&
+                   a.gzip_decompress && a.zlib_decompress &&
+                   a.free_decompressor;
     return a;
   }();
   return api;
+}
+
+// One lazily-allocated decompressor per thread (libdeflate decompressors
+// are not thread-safe but are reusable; never freed — thread lifetime).
+inline void* libdeflate_decompressor() {
+  const LibDeflateApi& a = libdeflate_api();
+  if (!a.ok_inflate) return nullptr;
+  thread_local void* d = a.alloc_decompressor();
+  return d;
 }
 
 // Buffered writer of "chrom\tstart\tend\tD.DD\n" lines. Default container is

@@ -4,6 +4,8 @@
 
 #include <cstring>
 
+#include "bedwrite.h"  // LibDeflateApi (runtime-resolved libdeflate)
+
 namespace gridtpu {
 
 BgzfReader::~BgzfReader() { close(); }
@@ -62,16 +64,27 @@ bool BgzfReader::load_block(int64_t coffset) {
   if (isize > (1u << 16)) return false;  // BGZF blocks are <= 64 KiB
   if (isize > ublock_.size()) ublock_.resize(isize);
 
-  z_stream zs;
-  memset(&zs, 0, sizeof(zs));
-  if (inflateInit2(&zs, -15) != Z_OK) return false;
-  zs.next_in = cdata.data();
-  zs.avail_in = (uInt)cdata_len;
-  zs.next_out = ublock_.data();
-  zs.avail_out = (uInt)ublock_.size();
-  int ret = inflate(&zs, Z_FINISH);
-  inflateEnd(&zs);
-  if (ret != Z_STREAM_END || zs.total_out != isize) return false;
+  // raw-deflate block decode: libdeflate when present (~2x zlib)
+  const LibDeflateApi& a = libdeflate_api();
+  void* d = libdeflate_decompressor();
+  if (d) {
+    size_t actual = 0;
+    if (a.deflate_decompress(d, cdata.data(), cdata_len, ublock_.data(),
+                             ublock_.size(), &actual) != 0 ||
+        actual != isize)
+      return false;
+  } else {
+    z_stream zs;
+    memset(&zs, 0, sizeof(zs));
+    if (inflateInit2(&zs, -15) != Z_OK) return false;
+    zs.next_in = cdata.data();
+    zs.avail_in = (uInt)cdata_len;
+    zs.next_out = ublock_.data();
+    zs.avail_out = (uInt)ublock_.size();
+    int ret = inflate(&zs, Z_FINISH);
+    inflateEnd(&zs);
+    if (ret != Z_STREAM_END || zs.total_out != isize) return false;
+  }
 
   ulen_ = isize;
   upos_ = 0;

@@ -128,6 +128,17 @@ struct BitReader {
 bool inflate_buf(const uint8_t* src, size_t n, std::vector<uint8_t>& out,
                  size_t raw_size) {
   out.resize(raw_size);
+  // libdeflate when present (~2x zlib); auto-detect gzip vs zlib wrapping
+  // like inflateInit2(15+32) does below.
+  const gridtpu::LibDeflateApi& a = gridtpu::libdeflate_api();
+  void* d = gridtpu::libdeflate_decompressor();
+  if (d) {
+    size_t actual = 0;
+    int rc = (n >= 2 && src[0] == 0x1f && src[1] == 0x8b)
+                 ? a.gzip_decompress(d, src, n, out.data(), raw_size, &actual)
+                 : a.zlib_decompress(d, src, n, out.data(), raw_size, &actual);
+    return rc == 0 && actual == raw_size;
+  }
   z_stream zs;
   memset(&zs, 0, sizeof(zs));
   if (inflateInit2(&zs, 15 + 32) != Z_OK) return false;  // gzip or zlib
@@ -173,6 +184,37 @@ bool read_sym_list(Cursor& c, Fn fn) {
   return false;
 }
 
+// Packed decode-table entry: sym | (freq-1)<<8 | cum<<20 — one 32-bit load
+// replaces the three lookups (lookup[m], freq[s], cum[s]) of the naive
+// form. freq in [1, 4096] and cum in [0, 4095] both fit 12 bits.
+inline void build_packed_table(const uint32_t* freq, const uint32_t* cum,
+                               uint32_t* tbl) {
+  for (int s = 0; s < 256; ++s)
+    for (uint32_t m = cum[s]; m < cum[s + 1]; ++m)
+      tbl[m] = (uint32_t)s | ((freq[s] - 1) << 8) | (cum[s] << 20);
+}
+
+// One rANS decode step against a packed table. The renorm is at most two
+// bytes: post-step x >= (x_prev >> 12) >= 2^11, so two <<8 shifts reach
+// the 2^23 lower bound. `checked` guards the input tail.
+template <bool checked>
+inline uint8_t rans_step(uint32_t& x, const uint32_t* tbl, const uint8_t*& p,
+                         const uint8_t* pend) {
+  uint32_t m = x & (kTotFreq - 1);
+  uint32_t e = tbl[m];
+  x = (((e >> 8) & 0xFFF) + 1) * (x >> kTFShift) + m - (e >> 20);
+  if (checked) {
+    if (x < kRansL && p < pend) x = (x << 8) | *p++;
+    if (x < kRansL && p < pend) x = (x << 8) | *p++;
+  } else {
+    if (x < kRansL) {
+      x = (x << 8) | *p++;
+      if (x < kRansL) x = (x << 8) | *p++;
+    }
+  }
+  return (uint8_t)e;
+}
+
 bool rans_decode(const uint8_t* src, size_t n, std::vector<uint8_t>& out) {
   Cursor c(src, n);
   int order = c.byte();
@@ -183,75 +225,100 @@ bool rans_decode(const uint8_t* src, size_t n, std::vector<uint8_t>& out) {
   if (out_sz == 0) return true;
 
   if (order == 0) {
-    std::vector<uint32_t> freq(256, 0), cum(257, 0);
+    uint32_t freq[256] = {0}, cum[257] = {0};
     if (!read_sym_list(c, [&](int s) { freq[s] = read_freq(c); })) return false;
     for (int i = 0; i < 256; ++i) cum[i + 1] = cum[i] + freq[i];
     if (cum[256] != kTotFreq) return false;
-    std::vector<uint8_t> lookup(kTotFreq);
-    for (int s = 0; s < 256; ++s)
-      for (uint32_t m = cum[s]; m < cum[s + 1]; ++m) lookup[m] = (uint8_t)s;
+    std::vector<uint32_t> tbl(kTotFreq);
+    build_packed_table(freq, cum, tbl.data());
     uint32_t st[4];
     for (auto& x : st)
       if (!c.read(&x, 4)) return false;
-    for (uint32_t i = 0; i < out_sz; ++i) {
-      int j = i & 3;
-      uint32_t x = st[j];
-      uint32_t m = x & (kTotFreq - 1);
-      uint8_t s = lookup[m];
-      out[i] = s;
-      x = freq[s] * (x >> kTFShift) + m - cum[s];
-      while (x < kRansL && c.p < c.end) x = (x << 8) | *c.p++;
-      st[j] = x;
+    const uint32_t* t = tbl.data();
+    const uint8_t* p = c.p;
+    const uint8_t* pend = c.end;
+    uint8_t* o = out.data();
+    uint32_t x0 = st[0], x1 = st[1], x2 = st[2], x3 = st[3];
+    // Four independent state chains; the unchecked quad loop lets the CPU
+    // pipeline them (each state renorms <= 2 bytes, so 8 bytes of input
+    // slack covers a full quad).
+    uint32_t i = 0;
+    uint32_t quads = out_sz / 4;
+    while (i < quads && (size_t)(pend - p) >= 8) {
+      uint8_t* q = o + i * 4;
+      q[0] = rans_step<false>(x0, t, p, pend);
+      q[1] = rans_step<false>(x1, t, p, pend);
+      q[2] = rans_step<false>(x2, t, p, pend);
+      q[3] = rans_step<false>(x3, t, p, pend);
+      ++i;
     }
+    st[0] = x0; st[1] = x1; st[2] = x2; st[3] = x3;
+    for (uint32_t k = i * 4; k < out_sz; ++k)
+      o[k] = rans_step<true>(st[k & 3], t, p, pend);
     return true;
   }
   if (order == 1) {
-    // per-context tables, allocated on demand
-    struct Tbl {
-      std::vector<uint32_t> freq, cum;
-      std::vector<uint8_t> lookup;
-    };
-    std::vector<Tbl> tbl(256);
+    // per-context packed tables in one contiguous buffer + a flat pointer
+    // table — the inner loop does ptrs[last] with no vector indirection
+    std::vector<uint32_t> storage;
+    int slot_of[256];
+    for (auto& s : slot_of) s = -1;
+    int n_ctx = 0;
     bool bad = false;
     bool okl = read_sym_list(c, [&](int ctx) {
-      Tbl& t = tbl[ctx];
-      t.freq.assign(256, 0);
-      t.cum.assign(257, 0);
-      read_sym_list(c, [&](int s) { t.freq[s] = read_freq(c); });
-      for (int i = 0; i < 256; ++i) t.cum[i + 1] = t.cum[i] + t.freq[i];
-      if (t.cum[256] != kTotFreq) {
+      slot_of[ctx] = n_ctx++;
+      uint32_t freq[256] = {0}, cum[257] = {0};
+      read_sym_list(c, [&](int s) { freq[s] = read_freq(c); });
+      for (int i = 0; i < 256; ++i) cum[i + 1] = cum[i] + freq[i];
+      if (cum[256] != kTotFreq) {
         bad = true;
         return;
       }
-      t.lookup.resize(kTotFreq);
-      for (int s = 0; s < 256; ++s)
-        for (uint32_t m = t.cum[s]; m < t.cum[s + 1]; ++m)
-          t.lookup[m] = (uint8_t)s;
+      storage.resize((size_t)n_ctx * kTotFreq);
+      build_packed_table(freq, cum,
+                         storage.data() + (size_t)(n_ctx - 1) * kTotFreq);
     });
     if (!okl || bad) return false;
+    const uint32_t* ptrs[256];
+    for (int ctx = 0; ctx < 256; ++ctx)
+      ptrs[ctx] = slot_of[ctx] < 0
+                      ? nullptr
+                      : storage.data() + (size_t)slot_of[ctx] * kTotFreq;
     uint32_t st[4];
     for (auto& x : st)
       if (!c.read(&x, 4)) return false;
+    const uint8_t* p = c.p;
+    const uint8_t* pend = c.end;
+    uint8_t* o = out.data();
     uint32_t q = out_sz >> 2;
-    uint32_t lo[4] = {0, q, 2 * q, 3 * q};
-    uint32_t hi[4] = {q, 2 * q, 3 * q, out_sz};
-    uint8_t last[4] = {0, 0, 0, 0};
-    uint32_t maxlen = hi[3] - lo[3];
-    for (uint32_t step = 0; step < maxlen; ++step) {
-      for (int j = 0; j < 4; ++j) {
-        if (step >= hi[j] - lo[j]) continue;
-        uint32_t i = lo[j] + step;
-        Tbl& t = tbl[last[j]];
-        if (t.lookup.empty()) return false;
-        uint32_t x = st[j];
-        uint32_t m = x & (kTotFreq - 1);
-        uint8_t s = t.lookup[m];
-        out[i] = s;
-        x = t.freq[s] * (x >> kTFShift) + m - t.cum[s];
-        while (x < kRansL && c.p < c.end) x = (x << 8) | *c.p++;
-        st[j] = x;
-        last[j] = s;
-      }
+    uint8_t l0 = 0, l1 = 0, l2 = 0, l3 = 0;
+    uint32_t x0 = st[0], x1 = st[1], x2 = st[2], x3 = st[3];
+    uint8_t *o0 = o, *o1 = o + q, *o2 = o + 2 * q, *o3 = o + 3 * q;
+    // quarters 0-2 have length q; quarter 3 is the longest (out_sz - 3q)
+    uint32_t step = 0;
+    while (step < q && (size_t)(pend - p) >= 8) {
+      const uint32_t *t0 = ptrs[l0], *t1 = ptrs[l1], *t2 = ptrs[l2],
+                     *t3 = ptrs[l3];
+      if (!t0 || !t1 || !t2 || !t3) return false;
+      o0[step] = l0 = rans_step<false>(x0, t0, p, pend);
+      o1[step] = l1 = rans_step<false>(x1, t1, p, pend);
+      o2[step] = l2 = rans_step<false>(x2, t2, p, pend);
+      o3[step] = l3 = rans_step<false>(x3, t3, p, pend);
+      ++step;
+    }
+    for (; step < q; ++step) {
+      const uint32_t *t0 = ptrs[l0], *t1 = ptrs[l1], *t2 = ptrs[l2],
+                     *t3 = ptrs[l3];
+      if (!t0 || !t1 || !t2 || !t3) return false;
+      o0[step] = l0 = rans_step<true>(x0, t0, p, pend);
+      o1[step] = l1 = rans_step<true>(x1, t1, p, pend);
+      o2[step] = l2 = rans_step<true>(x2, t2, p, pend);
+      o3[step] = l3 = rans_step<true>(x3, t3, p, pend);
+    }
+    for (uint32_t i = 3 * q + step; i < out_sz; ++i) {  // state 3 remainder
+      const uint32_t* t = ptrs[l3];
+      if (!t) return false;
+      o[i] = l3 = rans_step<true>(x3, t, p, pend);
     }
     return true;
   }
@@ -337,39 +404,193 @@ struct Block {
   std::vector<uint8_t> data;
 };
 
-bool read_block(Cursor& c, Block* b) {
-  int method = c.byte();
+// Block header + a pointer to the still-compressed payload (which aliases
+// the container body, so the body must outlive any deferred decode).
+struct RawBlock {
+  int method = M_RAW;
+  int ctype = -1;
+  int content_id = 0;
+  const uint8_t* payload = nullptr;
+  int32_t comp_size = 0;
+  int32_t raw_size = 0;
+};
+
+bool parse_block(Cursor& c, RawBlock* b) {
+  b->method = c.byte();
   b->ctype = c.byte();
   b->content_id = c.itf8();
-  int32_t comp_size = c.itf8();
-  int32_t raw_size = c.itf8();
-  if (!c.ok || comp_size < 0 || raw_size < 0 ||
-      raw_size > (1 << 30))  // allocation guard vs corrupt size fields
+  b->comp_size = c.itf8();
+  b->raw_size = c.itf8();
+  if (!c.ok || b->comp_size < 0 || b->raw_size < 0 ||
+      b->raw_size > (1 << 30))  // allocation guard vs corrupt size fields
     return false;
-  const uint8_t* payload = c.p;
-  if (!c.skip(comp_size)) return false;
+  b->payload = c.p;
+  if (!c.skip(b->comp_size)) return false;
   c.skip(4);  // CRC32 (validated by the Python twin; skipped here for speed)
-  switch (method) {
+  return true;
+}
+
+bool materialize_block(const RawBlock& rb, std::vector<uint8_t>& out) {
+  switch (rb.method) {
     case M_RAW:
-      b->data.assign(payload, payload + comp_size);
+      out.assign(rb.payload, rb.payload + rb.comp_size);
       break;
     case M_GZIP:
-      if (!inflate_buf(payload, comp_size, b->data, raw_size)) return false;
+      if (!inflate_buf(rb.payload, rb.comp_size, out, rb.raw_size))
+        return false;
       break;
     case M_RANS:
-      if (!rans_decode(payload, comp_size, b->data)) return false;
+      if (!rans_decode(rb.payload, rb.comp_size, out)) return false;
       break;
     case M_BZIP2:
-      if (!bzip2_buf(payload, comp_size, b->data, raw_size)) return false;
+      if (!bzip2_buf(rb.payload, rb.comp_size, out, rb.raw_size)) return false;
       break;
     case M_LZMA:
-      if (!lzma_buf(payload, comp_size, b->data, raw_size)) return false;
+      if (!lzma_buf(rb.payload, rb.comp_size, out, rb.raw_size)) return false;
       break;
     default:
       return false;
   }
-  return (int32_t)b->data.size() == raw_size;
+  return (int32_t)out.size() == rb.raw_size;
 }
+
+bool read_block(Cursor& c, Block* b) {
+  RawBlock rb;
+  if (!parse_block(c, &rb)) return false;
+  b->ctype = rb.ctype;
+  b->content_id = rb.content_id;
+  return materialize_block(rb, b->data);
+}
+
+// External data stream with DEFERRED decompression: the record decode loop
+// only ever *skips* the big streams (QS quality bytes, BB/BA base
+// stretches — their lengths come from other series), so those blocks are
+// never inflated at all unless a codec actually reads their bytes. skip()
+// advances a virtual offset while unmaterialized; the first content access
+// (byte/read/itf8/memchr) decompresses and re-applies the offset. This is
+// most of the CRAM-vs-BAM full-scan gap: quality + base blocks are ~70% of
+// a real file's compressed payload.
+struct ExtStream {
+  RawBlock rb;
+  std::vector<uint8_t> buf;
+  const uint8_t* p = nullptr;
+  const uint8_t* end = nullptr;
+  size_t vpos = 0;  // virtual offset while unmaterialized
+  bool mat = false;
+  bool ok = true;
+
+  void init(const RawBlock& b) {
+    rb = b;
+    mat = false;
+    ok = true;
+    vpos = 0;
+  }
+
+  bool ensure() {
+    if (mat) return ok;
+    mat = true;
+    if (rb.method == M_RAW) {
+      // zero-copy: point straight into the container body
+      if (rb.comp_size != rb.raw_size) {
+        ok = false;
+        return false;
+      }
+      p = rb.payload;
+      end = rb.payload + rb.comp_size;
+    } else {
+      if (!materialize_block(rb, buf)) {
+        ok = false;
+        p = end = nullptr;
+        return false;
+      }
+      p = buf.data();
+      end = buf.data() + buf.size();
+    }
+    p += vpos;  // skip() bounds-checked vpos <= raw_size already
+    return true;
+  }
+
+  uint8_t byte() {
+    if (!mat && !ensure()) return 0;
+    if (p >= end) {
+      ok = false;
+      return 0;
+    }
+    return *p++;
+  }
+
+  bool read(void* dst, size_t n) {
+    if (!mat && !ensure()) return false;
+    if (n > (size_t)(end - p)) {
+      ok = false;
+      return false;
+    }
+    memcpy(dst, p, n);
+    p += n;
+    return true;
+  }
+
+  bool skip(size_t n) {
+    if (!mat) {
+      if (vpos + n > (size_t)rb.raw_size) {
+        ok = false;
+        return false;
+      }
+      vpos += n;
+      return true;
+    }
+    if (n > (size_t)(end - p)) {
+      ok = false;
+      return false;
+    }
+    p += n;
+    return true;
+  }
+
+  int32_t itf8() {
+    // fast path: one bounds check covers the worst-case 5-byte encoding
+    if (mat && (size_t)(end - p) >= 5) {
+      const uint8_t* q = p;
+      uint8_t b0 = *q++;
+      uint32_t v;
+      if (b0 < 0x80) {
+        p = q;
+        return (int32_t)b0;
+      }
+      if (b0 < 0xC0) {
+        v = ((uint32_t)(b0 & 0x7F) << 8) | *q++;
+      } else if (b0 < 0xE0) {
+        v = ((uint32_t)(b0 & 0x3F) << 16) | ((uint32_t)q[0] << 8) | q[1];
+        q += 2;
+      } else if (b0 < 0xF0) {
+        v = ((uint32_t)(b0 & 0x1F) << 24) | ((uint32_t)q[0] << 16) |
+            ((uint32_t)q[1] << 8) | q[2];
+        q += 3;
+      } else {
+        v = ((uint32_t)(b0 & 0x0F) << 28) | ((uint32_t)q[0] << 20) |
+            ((uint32_t)q[1] << 12) | ((uint32_t)q[2] << 4) | (q[3] & 0x0F);
+        q += 4;
+      }
+      p = q;
+      return (int32_t)v;
+    }
+    uint8_t b0 = byte();
+    uint32_t v;
+    if (b0 < 0x80) return (int32_t)b0;
+    if (b0 < 0xC0) {
+      v = ((uint32_t)(b0 & 0x7F) << 8) | byte();
+    } else if (b0 < 0xE0) {
+      v = ((uint32_t)(b0 & 0x3F) << 16) | ((uint32_t)byte() << 8) | byte();
+    } else if (b0 < 0xF0) {
+      v = ((uint32_t)(b0 & 0x1F) << 24) | ((uint32_t)byte() << 16) |
+          ((uint32_t)byte() << 8) | byte();
+    } else {
+      v = ((uint32_t)(b0 & 0x0F) << 28) | ((uint32_t)byte() << 20) |
+          ((uint32_t)byte() << 12) | ((uint32_t)byte() << 4) | (byte() & 0x0F);
+    }
+    return (int32_t)v;
+  }
+};
 
 struct ContainerHeader {
   int32_t length = 0;
@@ -436,9 +657,9 @@ struct Encoding {
 };
 
 struct ExtMap {
-  std::map<int, Cursor> streams;
+  std::map<int, ExtStream> streams;
 
-  Cursor* get(int id) {
+  ExtStream* get(int id) {
     auto it = streams.find(id);
     return it == streams.end() ? nullptr : &it->second;
   }
@@ -458,8 +679,8 @@ struct Codec {
   int offset = 0, nbits = 0, k = 0;
   // byte array
   uint8_t stop = 0;
-  std::vector<Codec> nested;  // [len, val] for BYTE_ARRAY_LEN
-  Cursor* stream = nullptr;   // bound external stream (bind())
+  std::vector<Codec> nested;   // [len, val] for BYTE_ARRAY_LEN
+  ExtStream* stream = nullptr;  // bound external stream (bind())
 
   bool init(const Encoding& e) {
     codec = e.codec;
@@ -601,7 +822,8 @@ struct Codec {
   // Consume a byte array (content discarded); returns length or -1.
   int skip_bytes(BitReader& core, int n = -1) const {
     if (codec == E_BYTE_ARRAY_STOP) {
-      Cursor* s = stream;
+      ExtStream* s = stream;
+      if (!s->mat && !s->ensure()) return -1;  // stop-scan needs the bytes
       const uint8_t* q =
           (const uint8_t*)memchr(s->p, stop, (size_t)(s->end - s->p));
       if (!q) return -1;
@@ -780,6 +1002,7 @@ struct SliceDecoder {
   bool decode(const SliceHeader& sh, std::vector<LiteRec>& out) {
     int64_t prev_ap = sh.start;
     size_t base = out.size();
+    out.reserve(base + (size_t)sh.n_records);
     for (int32_t i = 0; i < sh.n_records; ++i) {
       LiteRec r;
       int32_t vbf, vcf, vrl, vap, dummy;
@@ -993,14 +1216,17 @@ struct CramFile {
       SliceHeader sh;
       if (!sh.parse(shb.data)) return false;
       SliceDecoder dec(comp);
-      std::vector<Block> blocks(sh.n_blocks);
-      for (auto& b : blocks) {
-        if (!read_block(sc, &b)) return false;
-        if (b.ctype == CT_CORE)
-          dec.core.init(b.data.data(), b.data.size());
-        else if (b.ctype == CT_EXTERNAL)
-          dec.ext.streams.emplace(b.content_id,
-                                  Cursor(b.data.data(), b.data.size()));
+      Block core_block;  // CORE is bit-packed and tiny; decode eagerly
+      for (int32_t bi = 0; bi < sh.n_blocks; ++bi) {
+        RawBlock rb;
+        if (!parse_block(sc, &rb)) return false;
+        if (rb.ctype == CT_CORE) {
+          if (!materialize_block(rb, core_block.data)) return false;
+          dec.core.init(core_block.data.data(), core_block.data.size());
+        } else if (rb.ctype == CT_EXTERNAL) {
+          // DEFERRED: decompressed only if a codec reads actual bytes
+          dec.ext.streams[rb.content_id].init(rb);
+        }
       }
       dec.resolve_all();
       if (!dec.decode(sh, out)) return false;
