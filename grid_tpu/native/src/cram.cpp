@@ -19,9 +19,15 @@
 #include <cstring>
 #include <dlfcn.h>
 
+#include <condition_variable>
+#include <deque>
+#include <functional>
 #include <map>
+#include <memory>
+#include <mutex>
 #include <set>
 #include <string>
+#include <thread>
 #include <vector>
 
 #include "bedwrite.h"
@@ -1254,7 +1260,135 @@ struct CramFile {
       if (rc != 0) return rc < 0 ? rc : 0;
     }
   }
+
+  template <typename Fn>
+  int for_each_container_decoded(Fn fn);  // after DecodePool
 };
+
+// Process-wide decode worker pool shared by every full-file CRAM scan.
+// Deliberately leaked (threads park on the condvar when idle): the library
+// lives inside a Python process, and joining threads from a static
+// destructor during interpreter teardown deadlocks. Size:
+// GRID_TPU_DECODE_THREADS env override, else hardware_concurrency, capped
+// at 8; < 2 disables the pool (scans decode inline).
+class DecodePool {
+ public:
+  static DecodePool* get() {
+    static DecodePool* pool = [] {
+      int n = (int)std::thread::hardware_concurrency();
+      if (const char* e = getenv("GRID_TPU_DECODE_THREADS")) n = atoi(e);
+      if (n > 8) n = 8;
+      return n >= 2 ? new DecodePool(n) : nullptr;
+    }();
+    return pool;
+  }
+
+  int size() const { return (int)threads_.size(); }
+
+  void submit(std::function<void()> task) {
+    {
+      std::lock_guard<std::mutex> lk(m_);
+      q_.push_back(std::move(task));
+    }
+    cv_.notify_one();
+  }
+
+ private:
+  explicit DecodePool(int n) {
+    for (int i = 0; i < n; ++i)
+      threads_.emplace_back([this] {
+        for (;;) {
+          std::function<void()> task;
+          {
+            std::unique_lock<std::mutex> lk(m_);
+            cv_.wait(lk, [this] { return !q_.empty(); });
+            task = std::move(q_.front());
+            q_.pop_front();
+          }
+          task();
+        }
+      });
+  }
+
+  std::vector<std::thread> threads_;
+  std::deque<std::function<void()>> q_;
+  std::mutex m_;
+  std::condition_variable cv_;
+};
+
+// Pipelined full scan: the caller thread reads container bodies (the
+// sequential IO) while pool workers run the slice/record decode; fn(h,
+// recs) fires on the caller thread in container order. Falls back to
+// inline decode without a pool. fn returns 0 to continue (<0 aborts).
+template <typename Fn>
+int CramFile::for_each_container_decoded(Fn fn) {
+  DecodePool* pool = DecodePool::get();
+  if (!pool) {
+    std::vector<LiteRec> recs;
+    return for_each_container(
+        [&](const ContainerHeader& h, const std::vector<uint8_t>& body, long) {
+          recs.clear();
+          if (!decode_container(h, body, {}, recs)) return -11;
+          return fn(h, recs);
+        });
+  }
+
+  struct Pending {
+    ContainerHeader h;
+    std::vector<uint8_t> body;
+    std::vector<LiteRec> recs;
+    bool ok = false;
+    bool done = false;
+    std::mutex m;
+    std::condition_variable cv;
+  };
+  std::deque<std::unique_ptr<Pending>> inflight;
+  const size_t max_inflight = (size_t)pool->size() + 1;
+  int rc = 0;
+
+  auto drain_front = [&]() -> int {
+    std::unique_ptr<Pending> p = std::move(inflight.front());
+    inflight.pop_front();
+    {
+      std::unique_lock<std::mutex> lk(p->m);
+      p->cv.wait(lk, [&] { return p->done; });
+    }
+    if (!p->ok) return -11;
+    return fn(p->h, p->recs);
+  };
+
+  int io_rc = for_each_container(
+      [&](const ContainerHeader& h, std::vector<uint8_t>& body, long) {
+        if (rc != 0) return rc;  // stop reading after a downstream failure
+        auto p = std::make_unique<Pending>();
+        p->h = h;
+        p->body = std::move(body);  // per-iteration buffer; safe to steal
+        Pending* raw = p.get();
+        pool->submit([this, raw] {
+          bool ok = false;
+          try {
+            ok = decode_container(raw->h, raw->body, {}, raw->recs);
+          } catch (const std::exception&) {
+            ok = false;
+          }
+          {
+            std::lock_guard<std::mutex> lk(raw->m);
+            raw->ok = ok;
+            raw->done = true;
+          }
+          raw->cv.notify_one();
+        });
+        inflight.push_back(std::move(p));
+        if (inflight.size() >= max_inflight) rc = drain_front();
+        return rc;
+      });
+  while (!inflight.empty()) {
+    int r = drain_front();  // always drain: workers hold raw pointers
+    if (rc == 0) rc = r;
+  }
+  if (rc != 0) return rc < 0 ? rc : 0;
+  return io_rc;
+}
 
 // CRAI parse (gzip text).
 bool read_crai(const std::string& path,
@@ -1299,10 +1433,11 @@ bool collect_region_records(CramFile& cf, int32_t ref_id, int64_t start,
     }
     return true;
   }
-  // full scan
-  int rc = cf.for_each_container(
-      [&](const ContainerHeader& h, const std::vector<uint8_t>& body, long) {
-        return cf.decode_container(h, body, {}, recs) ? 0 : -11;
+  // full scan (pool-pipelined container decode)
+  int rc = cf.for_each_container_decoded(
+      [&](const ContainerHeader&, std::vector<LiteRec>& r) {
+        recs.insert(recs.end(), r.begin(), r.end());
+        return 0;
       });
   return rc == 0;
 }
@@ -1329,11 +1464,8 @@ int scan_cram_bins(CramFile& cf, int32_t bin_size, int32_t exclude_flags,
   int64_t count = 0;
   const bool any_count = counting || multi;
 
-  std::vector<LiteRec> recs;
-  int rc = cf.for_each_container(
-      [&](const ContainerHeader& h, const std::vector<uint8_t>& body, long) {
-        recs.clear();
-        if (!cf.decode_container(h, body, {}, recs)) return -11;
+  int rc = cf.for_each_container_decoded(
+      [&](const ContainerHeader&, std::vector<LiteRec>& recs) {
         for (const auto& r : recs) {
           const bool base_ok = any_count && fset.count(r.flag) &&
               r.mapq >= count_min_mapq && r.mate_ref == r.ref_id &&
@@ -1553,9 +1685,10 @@ int64_t grid_cram_dump(const char* path, int64_t* out, int64_t cap) try {
   CramFile cf;
   if (!cf.open(path)) return -1;
   std::vector<LiteRec> recs;
-  int rc = cf.for_each_container(
-      [&](const ContainerHeader& h, const std::vector<uint8_t>& body, long) {
-        return cf.decode_container(h, body, {}, recs) ? 0 : -11;
+  int rc = cf.for_each_container_decoded(
+      [&](const ContainerHeader&, std::vector<LiteRec>& r) {
+        recs.insert(recs.end(), r.begin(), r.end());
+        return 0;
       });
   if (rc != 0) return rc;
   int64_t n = std::min<int64_t>((int64_t)recs.size(), cap);
