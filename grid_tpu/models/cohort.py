@@ -42,7 +42,7 @@ from grid_tpu.ops.knn import (
 )
 from grid_tpu.ops.normalize import normalize_cohort, select_high_variance_mask
 from grid_tpu.ops.phasing import PhasingResult, compute_imputed, phase_haplotypes
-from grid_tpu.ops.select import dipcn_from_distances, dipcn_from_distances_panels
+from grid_tpu.ops.select import dipcn_from_distances_panels, dipcn_from_lists
 
 
 class CohortParams(NamedTuple):
@@ -200,10 +200,13 @@ def cohort_step(
     if d2_resident:
         # threshold dipCN: no [N, k] gathers (the measured 19.5 ms cost of
         # the gather formulation); exact stable-tie parity with the
-        # reference's sorted neighbor prefix (ops/select.py).
+        # reference's sorted neighbor prefix (ops/select.py). The sorted
+        # step-5 lists double as the order statistics, so both key
+        # bisections and both tie-cuts come free (dipcn_from_lists;
+        # measured 1.79 -> ~0.4 ms at N=2504 — scripts/probe_dipcn_lists.py).
         w = reads / scales
-        dipcn, dipcn_valid = dipcn_from_distances(
-            d2, w, w, reads_valid, reads_valid,
+        dipcn, dipcn_valid = dipcn_from_lists(
+            d2, sq_dists, nbr_idx, w, w, reads_valid, reads_valid,
             k=params.num_neighbors, n_nbr=params.n_nbr,
         )
     elif params.use_pallas:

@@ -209,6 +209,85 @@ def dipcn_from_distances(d2, rnorm, nbr_w, col_usable, sample_valid,
 
 
 @partial(jax.jit, static_argnames=("k", "n_nbr"))
+def dipcn_from_lists(d2, sq_dists, nbr_idx, rnorm, nbr_w, col_usable,
+                     sample_valid, k: int, n_nbr: int):
+    """Threshold dipCN reusing the already-computed sorted kNN lists.
+
+    Selects exactly the same neighbor prefix as
+    :func:`dipcn_from_distances` (values agree to f32 summation-order
+    tolerance — the take-set is identical but XLA fuses the final masked
+    sum differently) while being ~5x cheaper on the d2-resident path: the
+    fused cohort step has ALREADY selected the k
+    nearest neighbors (``sq_dists``/``nbr_idx``, the written step-5
+    artifact), and those sorted lists contain every order statistic the
+    threshold machinery re-derived from scratch —
+
+    - the k-set threshold is ``sq_dists[:, k-1]`` with tie-cut column
+      ``nbr_idx[:, k-1]`` (the 31-pass key bisection + 12-pass tie-cut of
+      ``smallest_k_mask``, for free);
+    - the n_nbr-th *usable* threshold is the list entry at the position
+      where the usable-prefix count reaches ``m_eff`` — found by a
+      ~log2(k)-pass bisection over list POSITIONS, each probe one fused
+      lexicographic compare/count pass over d2 (vs the second 31-pass key
+      bisection + tie-cut).
+
+    What remains over d2 is ~12 fused passes instead of ~86 (measured
+    1.79 -> 0.35 ms at N=2504/k=500; scripts/probe_dipcn_lists.py).
+
+    PRECONDITION: the lists are the exact k smallest distances per row,
+    ascending, ties broken by ascending column — what ``sorted_smallest_k``
+    and ``lax.approx_max_k(-d2, k, recall_target=1.0)`` produce, and what
+    the written neighbor artifact is pinned to by the reference-parity
+    tests. ``tests/test_select.py`` forces distance ties to check the
+    bit-parity against :func:`dipcn_from_distances`.
+
+    Args: as :func:`dipcn_from_distances`, plus the [N, k] lists.
+    Returns (dipcn [N], out_valid [N]).
+    """
+    key_type = _KEY_TYPES.get(jnp.dtype(d2.dtype))
+    if key_type is None:
+        raise ValueError(f"unsupported dtype {d2.dtype}")
+    n = d2.shape[0]
+    u = jax.lax.bitcast_convert_type(d2, key_type)
+    ul = jax.lax.bitcast_convert_type(jnp.asarray(sq_dists, d2.dtype), key_type)
+    cols = jax.lax.broadcasted_iota(jnp.int32, u.shape, 1)
+
+    def lex_le(t, c):
+        """[N] thresholds (value key t, tie column c) -> [N, W] mask of
+        entries with (u, col) lexicographically <= (t, c)."""
+        return (u < t[:, None]) | ((u == t[:, None]) & (cols <= c[:, None]))
+
+    in_k = lex_le(ul[:, k - 1], nbr_idx[:, k - 1])
+    usable = in_k & jnp.asarray(col_usable, bool)[None, :]
+    cnt_usable = jnp.sum(usable.astype(jnp.int32), axis=1)
+    m_eff = jnp.minimum(cnt_usable, n_nbr)
+    need = jnp.maximum(m_eff, 1)  # rows with m_eff == 0 masked at the end
+
+    # smallest list position p with count(usable & lex<=list[p]) >= m_eff;
+    # monotone in p because the list is strictly increasing in (value, col)
+    lo = jnp.zeros((n,), jnp.int32)
+    hi = jnp.full((n,), k - 1, jnp.int32)
+    for _ in range(max(int(k - 1).bit_length(), 1)):
+        mid = lo + (hi - lo) // 2
+        t_p = jnp.take_along_axis(ul, mid[:, None], axis=1)[:, 0]
+        c_p = jnp.take_along_axis(nbr_idx, mid[:, None], axis=1)[:, 0]
+        cnt = jnp.sum((usable & lex_le(t_p, c_p)).astype(jnp.int32), axis=1)
+        ge = cnt >= need
+        hi = jnp.where(ge, mid, hi)
+        lo = jnp.where(ge, lo, mid + 1)
+    t_m = jnp.take_along_axis(ul, hi[:, None], axis=1)[:, 0]
+    c_m = jnp.take_along_axis(nbr_idx, hi[:, None], axis=1)[:, 0]
+
+    take = usable & lex_le(t_m, c_m) & (m_eff > 0)[:, None]
+    w = jnp.asarray(nbr_w, d2.dtype)
+    tot = jnp.sum(jnp.where(take, w[None, :], 0), axis=1)
+    nbr_mean = tot / jnp.maximum(m_eff, 1)
+    dipcn = jnp.asarray(rnorm, d2.dtype) / nbr_mean
+    out_valid = jnp.asarray(sample_valid, bool) & (m_eff > 0)
+    return dipcn, out_valid
+
+
+@partial(jax.jit, static_argnames=("k", "n_nbr"))
 def dipcn_from_distances_multi(d2, rnorm, nbr_w, col_usable, sample_valid,
                                k: int, n_nbr: int):
     """Threshold dipCN for MANY loci against ONE distance geometry.

@@ -200,6 +200,83 @@ def test_dipcn_from_distances_matches_gather_path(rng):
         assert np.array_equal(m, ref_mask)
 
 
+def test_dipcn_from_lists_parity(rng):
+    """dipcn_from_lists (thresholds recycled from the sorted kNN lists)
+    must select EXACTLY the same neighbor prefix as dipcn_from_distances —
+    checked against an independent numpy oracle of the reference semantics
+    (stable lex sort, usable prefix of length n_nbr) — including forced
+    distance ties, unusable columns, rows whose k-set is all-unusable, and
+    lists from both producers (sorted_smallest_k / approx_max_k at recall
+    1.0). Values match to f32 summation-order tolerance: the take-set is
+    identical, but XLA fuses the final masked sum differently across the
+    two programs, so last-ulp equality is not guaranteed."""
+    import jax
+
+    from grid_tpu.ops.select import (
+        dipcn_from_distances,
+        dipcn_from_lists,
+        sorted_smallest_k,
+    )
+
+    for trial in range(6):
+        n = int(rng.integers(20, 70))
+        r = int(rng.integers(5, 25))
+        k = int(rng.integers(2, n - 1))
+        n_nbr = int(rng.integers(1, k + 1))
+        z = rng.normal(0, 1, (n, r)).astype(np.float32)
+        if trial % 2:
+            z = np.round(z * 2) / 2  # tie-heavy quantization
+        reads = rng.integers(100, 300, n).astype(np.float32)
+        scales = rng.uniform(0.5, 2.0, n).astype(np.float32)
+        usable = rng.random(n) > (0.9 if trial == 4 else 0.3)  # trial 4:
+        # most columns unusable => rows with m_eff < n_nbr and m_eff == 0
+        sample_valid = rng.random(n) > 0.1
+        w = reads / scales
+
+        sq = np.sum(z.astype(np.float64) ** 2, axis=1)
+        d2 = (sq[:, None] + sq[None, :] - 2 * z.astype(np.float64) @ z.T.astype(np.float64))
+        d2 = d2.clip(0).astype(np.float32)
+        np.fill_diagonal(d2, np.finfo(np.float32).max)
+        d2j = jnp.asarray(d2)
+
+        # numpy oracle: stable lex (value, col) sort -> k-set -> usable
+        # prefix of length min(n_nbr, usable count) -> f64 mean
+        oracle = np.full(n, np.nan)
+        oracle_ok = np.zeros(n, bool)
+        for i in range(n):
+            order = np.lexsort((np.arange(n), d2[i]))[:k]
+            us = [j for j in order if usable[j]]
+            m = min(len(us), n_nbr)
+            if m > 0:
+                oracle[i] = w[i] / (np.sum(w[us[:m]].astype(np.float64)) / m)
+                oracle_ok[i] = sample_valid[i]
+
+        want, want_ok = dipcn_from_distances(
+            d2j, jnp.asarray(w), jnp.asarray(w), jnp.asarray(usable),
+            jnp.asarray(sample_valid), k, n_nbr,
+        )
+        assert np.array_equal(np.asarray(want_ok), oracle_ok)
+        lists = {
+            "sorted_smallest_k": sorted_smallest_k(d2j, k),
+            "approx_max_k": (lambda neg_idx: (-neg_idx[0], neg_idx[1]))(
+                jax.lax.approx_max_k(-d2j, k, recall_target=1.0)
+            ),
+        }
+        for name, (sq_d, idx) in lists.items():
+            got, got_ok = dipcn_from_lists(
+                d2j, sq_d, idx, jnp.asarray(w), jnp.asarray(w),
+                jnp.asarray(usable), jnp.asarray(sample_valid), k, n_nbr,
+            )
+            assert np.array_equal(np.asarray(got_ok), oracle_ok), name
+            sel = oracle_ok
+            np.testing.assert_allclose(
+                np.asarray(got)[sel], oracle[sel], rtol=2e-6,
+                err_msg=f"{name} trial {trial} vs oracle")
+            np.testing.assert_allclose(
+                np.asarray(got)[sel], np.asarray(want)[sel], rtol=1e-6,
+                err_msg=f"{name} trial {trial} vs dipcn_from_distances")
+
+
 def test_dipcn_from_distances_no_usable_neighbors(rng):
     """Rows whose entire k-set is unusable come back invalid, not NaN-y."""
     from grid_tpu.ops.select import dipcn_from_distances
