@@ -1136,17 +1136,24 @@ def _cigar_is_trivial(cigar) -> bool:
     return cigar is None or all(op in "M=X" for op, _n in cigar)
 
 
-def _features_from_cigar(cigar, seq: bytes, ref_fetch, ref_id, pos0):
+def _features_from_cigar(cigar, seq: bytes, ref_fetch, ref_id, pos0,
+                         skip_match: bool = False):
     """Feature list [(fc, fpos, payload)] encoding a read with the given
     CIGAR. M/=/X segments become substitution features when a reference is
     at hand and the segment matches it ACGTN-wise (same rule as
     _substitution_features), else verbatim 'b' stretches; S/I/D/N/H/P map
-    to their CRAM feature codes."""
+    to their CRAM feature codes. ``skip_match`` emits no feature for M
+    segments at all (the CF_NO_SEQ path: bases are unknown, only the
+    alignment geometry matters)."""
     feats = []
     rp = 1          # 1-based read cursor
     roff = pos0     # 0-based reference cursor
     for op, n in cigar:
         if op in "M=X":
+            if skip_match:
+                rp += n
+                roff += n
+                continue
             seg = seq[rp - 1 : rp - 1 + n]
             subs = None
             if ref_fetch is not None and ref_id >= 0:
@@ -1380,7 +1387,38 @@ def _encode_slice(records: list[CramRecord], record_counter: int, method: int,
         bufs["TS"] += itf8_encode(r.tlen)
         if not (r.flag & 0x4):  # mapped
             if r.seq is None:
-                bufs["FN"] += itf8_encode(0)
+                # SEQ "*" but a real CIGAR (CF_NO_SEQ is set above): emit
+                # the positional features so the alignment geometry
+                # survives the round trip — S/I carry placeholder 'N'
+                # stretches (the reader ignores bases under CF_NO_SEQ and
+                # rebuilds the CIGAR from the feature lengths); M segments
+                # need no feature at all.
+                feats = (
+                    []
+                    if _cigar_is_trivial(r.cigar)
+                    else _features_from_cigar(
+                        r.cigar, b"N" * rl, None, r.ref_id, r.pos,
+                        skip_match=True,
+                    )
+                )
+                bufs["FN"] += itf8_encode(len(feats))
+                prev_fp = 0
+                for fc, fpos, payload in feats:
+                    bufs["FC"].append(ord(fc))
+                    bufs["FP"] += itf8_encode(fpos - prev_fp)
+                    prev_fp = fpos
+                    if fc == "S":
+                        bufs["SC"] += payload + b"\x00"
+                    elif fc == "I":
+                        bufs["IN"] += payload + b"\x00"
+                    elif fc == "D":
+                        bufs["DL"] += itf8_encode(payload)
+                    elif fc == "N":
+                        bufs["RS"] += itf8_encode(payload)
+                    elif fc == "P":
+                        bufs["PD"] += itf8_encode(payload)
+                    elif fc == "H":
+                        bufs["HC"] += itf8_encode(payload)
             elif not _cigar_is_trivial(r.cigar):
                 # CIGAR-preserving encode: S/I/D/N/H/P become their CRAM
                 # feature codes; M segments substitution-encode vs the

@@ -370,7 +370,50 @@ Bytes encode_slice(const std::vector<RecView>& recs, int64_t record_counter,
     itf8_encode(ts, r.tlen);
     if (!(r.flag & 0x4)) {  // mapped
       if (r.seq_len == 0) {
-        itf8_encode(fn, 0);
+        // SEQ "*" with a real CIGAR (CF_NO_SEQ set above): emit the
+        // positional features so the alignment geometry round-trips —
+        // S/I carry placeholder 'N' stretches (readers ignore bases under
+        // CF_NO_SEQ and rebuild the CIGAR from feature lengths); M
+        // segments need no feature at all. Twin of cramlite's
+        // skip_match=True path.
+        int32_t nfeat = 0;
+        if (r.n_cig > 0 && !cigar_trivial(r))
+          for (int32_t i = 0; i < r.n_cig; ++i)
+            if (!cig_match_like(r.cig[i] & 0xF)) ++nfeat;
+        itf8_encode(fn, nfeat);
+        if (nfeat > 0) {
+          int64_t rp = 1, prev_fp = 0;
+          for (int32_t i = 0; i < r.n_cig; ++i) {
+            uint32_t op = r.cig[i] & 0xF;
+            int64_t n = r.cig[i] >> 4;
+            if (cig_match_like(op)) {
+              rp += n;
+              continue;
+            }
+            char code;
+            Bytes* payload_ba = nullptr;
+            Bytes* payload_int = nullptr;
+            switch (op) {
+              case 1: code = 'I'; payload_ba = &in_b; break;
+              case 4: code = 'S'; payload_ba = &sc; break;
+              case 2: code = 'D'; payload_int = &dl; break;
+              case 3: code = 'N'; payload_int = &rs; break;
+              case 5: code = 'H'; payload_int = &hc; break;
+              case 6: code = 'P'; payload_int = &pd; break;
+              default: throw std::length_error("bad cigar op");
+            }
+            fc.push_back((uint8_t)code);
+            itf8_encode(fp, rp - prev_fp);
+            prev_fp = rp;
+            if (payload_ba) {
+              payload_ba->insert(payload_ba->end(), (size_t)n, (uint8_t)'N');
+              payload_ba->push_back(0x00);
+              rp += n;
+            } else {
+              itf8_encode(*payload_int, n);
+            }
+          }
+        }
       } else if (r.n_cig > 0 && !cigar_trivial(r)) {
         // CIGAR-preserving encode (verbatim 'b' stretches for match runs;
         // S/I/D/N/H/P become their CRAM feature codes). Count features

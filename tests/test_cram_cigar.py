@@ -97,6 +97,37 @@ def test_native_writer_preserves_cigars(tmp_path, native_cram):
     _check_roundtrip(p, recs, native_cram)
 
 
+@pytest.mark.parametrize("writer", ["python", "native"])
+def test_noseq_records_keep_cigars(tmp_path, native_cram, writer):
+    """Mapped records with SEQ '*' (seq=None) keep their CIGAR through the
+    round trip (round-4 close-out of builder TODO #6): the writers emit the
+    positional S/I/D/N/H/P features with placeholder bases under CF_NO_SEQ,
+    and the readers rebuild the CIGAR while leaving seq=None."""
+    rng = np.random.default_rng(11)
+    recs = []
+    for i, (_label, cig) in enumerate(CASES):
+        r = _mk_rec(i, cig, 100 + 50 * i, rng)
+        r.seq = None
+        r.qual = None
+        recs.append(r)
+    p = tmp_path / f"{writer}_noseq.cram"
+    if writer == "python":
+        cl.write_cram(p, [("chr1", 100000)], recs)
+    else:
+        native_cram.write_cram(p, [("chr1", 100000)], recs)
+    with cl.CramReader(p) as rd:
+        out = list(rd.iter_records())
+    assert len(out) == len(recs)
+    for a, b in zip(recs, out):
+        assert b.seq is None, a.name
+        assert b.cigar == list(a.cigar), (a.name, b.cigar)
+        assert b.ref_len == _ref_len(a.cigar), a.name
+        assert b.pos == a.pos and b.mapq == a.mapq
+    # native reader agrees on the reference spans
+    nat = native_cram.dump_records(str(p))
+    assert list(nat[:, 5]) == [_ref_len(r.cigar) for r in recs]
+
+
 def test_writers_agree_on_random_cigars(tmp_path, native_cram):
     """Fuzz: random CIGARs through both writers -> identical decoded record
     streams (cigar, seq, qual, ref_len)."""
