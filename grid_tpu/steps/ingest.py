@@ -24,6 +24,7 @@ from coverage/staging with a logged warning.
 from __future__ import annotations
 
 from concurrent.futures import ThreadPoolExecutor, as_completed
+from concurrent.futures import TimeoutError as FuturesTimeout
 from pathlib import Path
 from threading import Lock
 
@@ -150,6 +151,16 @@ def run_fused_ingest(config, console=None, collect_staged=True):
     staged: dict | None = {} if collect_staged else None
     failed = []
 
+    def apply_mask(backend, path, starts, ends, depths, refids):
+        if not excluded:
+            return starts, ends, depths
+        names = [norm_chrom(n) for n, _ in backend.references(path)]
+        keep = np.array([
+            not region_overlaps_mask(names[r], int(s), int(e), excluded)
+            for r, s, e in zip(refids, starts, ends)
+        ], dtype=bool) if len(refids) else np.ones(0, bool)
+        return starts[keep], ends[keep], depths[keep]
+
     def process(sample, path):
         bed = work_dir / f"{Path(path).stem}_{region_name}.regions.bed.gz"
         try:
@@ -166,13 +177,8 @@ def run_fused_ingest(config, console=None, collect_staged=True):
                 [int(c) if c >= 0 else "Error" for c in out[6]]
                 if extra_wins else []
             )
-            if excluded:
-                names = [norm_chrom(n) for n, _ in backend.references(path)]
-                keep = np.array([
-                    not region_overlaps_mask(names[r], int(s), int(e), excluded)
-                    for r, s, e in zip(refids, starts, ends)
-                ], dtype=bool) if len(refids) else np.ones(0, bool)
-                starts, ends, depths = starts[keep], ends[keep], depths[keep]
+            starts, ends, depths = apply_mask(
+                backend, path, starts, ends, depths, refids)
             return count, cov100, (starts, ends, depths), wcounts
         except Exception:
             # per-sample fallback (CLAUDE.md invariant: no hard native
@@ -222,35 +228,105 @@ def run_fused_ingest(config, console=None, collect_staged=True):
                     style="danger")
                 return count, None, None, wcounts
 
-    with progress_bar(console, total=len(files), description="Ingesting (one pass)") as (progress, task):
-        with ThreadPoolExecutor(max_workers=max(1, threads)) as executor:
-            futures = {
-                executor.submit(process, sample, path): sample
-                for sample, path in files.items()
-            }
-            for future in as_completed(futures):
-                sample = futures[future]
-                try:
-                    count, cov100, arrays, wcounts = future.result()
-                except Exception as e:  # catch-all: fallback itself died
-                    log(console, f"✗ {sample} ingest failed: {e}", style="danger")
-                    count, cov100, arrays = "Error", None, None
-                    wcounts = ["Error"] * len(extra_wins)
-                if cov100 is None:
-                    failed.append(sample)
-                with write_lock:
-                    if do_counts:
-                        with open(counts_path, "a") as f:
-                            f.write(f"{sample}\t{count}\n")
-                    for p, wcount in zip(extra_paths, wcounts):
-                        with open(p, "a") as f:
-                            f.write(f"{sample}\t{wcount}\n")
-                    if cov100 is not None:
-                        with open(coverage_path, "a", newline="") as f:
-                            f.write(f"{sample}\t{cov100}\n")
-                if collect_staged and arrays is not None:
-                    staged[sample] = arrays
-                progress.update(task, advance=1)
+    def emit(sample, count, cov100, arrays, wcounts):
+        if cov100 is None:
+            failed.append(sample)
+        with write_lock:
+            if do_counts:
+                with open(counts_path, "a") as f:
+                    f.write(f"{sample}\t{count}\n")
+            for p, wcount in zip(extra_paths, wcounts):
+                with open(p, "a") as f:
+                    f.write(f"{sample}\t{wcount}\n")
+            if cov100 is not None:
+                with open(coverage_path, "a", newline="") as f:
+                    f.write(f"{sample}\t{cov100}\n")
+        if collect_staged and arrays is not None:
+            staged[sample] = arrays
+
+    def process_fallback(sample, path):
+        try:
+            return process(sample, path)
+        except Exception as e:  # catch-all: fallback itself died
+            log(console, f"✗ {sample} ingest failed: {e}", style="danger")
+            return "Error", None, None, ["Error"] * len(extra_wins)
+
+    def run_batched() -> bool:
+        """Whole-cohort fan-out in ONE native call (grid_ingest_batch):
+        worker threads below the GIL, per-file statuses, a polled progress
+        counter. Files the batch flags failed re-run through the same
+        per-sample fallback chain the threaded loop uses, so failure
+        semantics are identical. Returns False when the batch entry point
+        is unavailable (stale .so, GRID_TPU_BATCH_INGEST=0) — the caller
+        then uses the per-sample threaded loop."""
+        import os
+
+        if os.environ.get("GRID_TPU_BATCH_INGEST", "1") == "0":
+            return False
+        try:
+            from grid_tpu import native
+            from grid_tpu.native._ingest import ingest_batch
+
+            if not hasattr(native.lib(), "grid_ingest_batch"):
+                return False
+        except Exception:
+            return False
+
+        items = list(files.items())
+        entries = [
+            (path,
+             str(work_dir / f"{Path(path).stem}_{region_name}.regions.bed.gz"))
+            for _, path in items
+        ]
+        ctr = np.zeros(1, np.int64)
+        with progress_bar(console, total=len(items),
+                          description="Ingesting (one pass)") as (progress, task):
+            with ThreadPoolExecutor(max_workers=1) as ex:
+                fut = ex.submit(
+                    ingest_batch, entries, chrom, start, end, flags,
+                    count_min_mapq, bin_size=by, skip_zero=sparse_bed,
+                    windows=extra_wins or None, threads=max(1, threads),
+                    collect_bins=collect_staged, progress=ctr,
+                )
+                done_n = 0
+                while True:
+                    try:
+                        status, counts, covs, bins, wc = fut.result(timeout=0.2)
+                        break
+                    except FuturesTimeout:
+                        cur = int(ctr[0])
+                        progress.update(task, advance=cur - done_n)
+                        done_n = cur
+                progress.update(task, advance=len(items) - done_n)
+
+        for i, (sample, path) in enumerate(items):
+            if int(status[i]) != 0:
+                emit(sample, *process_fallback(sample, path))
+                continue
+            wcounts = (
+                [int(c) if c >= 0 else "Error" for c in wc[i]]
+                if extra_wins else []
+            )
+            arrays = None
+            if bins[i] is not None:
+                s_, e_, d_, r_ = bins[i]
+                s_, e_, d_ = apply_mask(
+                    _ingest_backend(path), path, s_, e_, d_, r_)
+                arrays = (s_, e_, d_)
+            emit(sample, int(counts[i]), int(covs[i]), arrays, wcounts)
+        return True
+
+    if not run_batched():
+        with progress_bar(console, total=len(files), description="Ingesting (one pass)") as (progress, task):
+            with ThreadPoolExecutor(max_workers=max(1, threads)) as executor:
+                futures = {
+                    executor.submit(process_fallback, sample, path): sample
+                    for sample, path in files.items()
+                }
+                for future in as_completed(futures):
+                    sample = futures[future]
+                    emit(sample, *future.result())
+                    progress.update(task, advance=1)
 
     if mcfg.get("remove_intermediate", False):
         remove_intermediate_files(work_dir, console)

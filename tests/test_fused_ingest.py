@@ -222,3 +222,87 @@ def test_fused_ingest_coverage_only_mode(tmp_path):
         }
     assert outs["sequential"]["cov"] == outs["fused"]["cov"]
     assert outs["sequential"]["norm"] == outs["fused"]["norm"]
+
+
+def test_batch_ingest_matches_per_sample(tmp_path):
+    """grid_ingest_batch (one native call, internal thread pool) returns the
+    same counts / coverage / staged bins / window counts as the per-sample
+    ingest wrapper it fans out, and the progress counter lands on n."""
+    _native_or_skip()
+    from grid_tpu.native import bam as bam_backend
+    from grid_tpu.native._ingest import ingest_batch
+    from grid_tpu.synth import make_synthetic_cohort_with_alignments
+
+    cohort = make_synthetic_cohort_with_alignments(
+        tmp_path, n_samples=5, seed=23, file_type="bam"
+    )
+    cfg = cohort["config"]
+    chrom, start, end = cfg["chrom"], cfg["start_bp"], cfg["end_bp"]
+    flags = cfg["count_reads"]["flags"]
+    paths = sorted(Path(cfg["directory_loc"]).glob("*.bam"))
+    windows = [(chrom, start, (start + end) // 2), ("chrMISSING", 0, 100)]
+
+    entries = [(str(p), str(tmp_path / f"b{i}.bed.gz"))
+               for i, p in enumerate(paths)]
+    progress = np.zeros(1, np.int64)
+    status, counts, covs, bins, wc = ingest_batch(
+        entries, chrom, start, end, flags, threads=3, windows=windows,
+        progress=progress,
+    )
+    assert list(status) == [0] * len(paths)
+    assert int(progress[0]) == len(paths)
+
+    for i, p in enumerate(paths):
+        out = bam_backend.ingest(
+            str(p), str(tmp_path / f"s{i}.bed.gz"), chrom, start, end, flags,
+            windows=windows,
+        )
+        count, cov100, starts, ends, depths, refids, wcounts = out
+        assert int(counts[i]) == count
+        assert int(covs[i]) == cov100
+        bs, be, bd, br = bins[i]
+        np.testing.assert_array_equal(bs, starts)
+        np.testing.assert_array_equal(be, ends)
+        np.testing.assert_array_equal(bd, depths)
+        np.testing.assert_array_equal(br, refids)
+        np.testing.assert_array_equal(wc[i], wcounts)
+        # the bed.gz artifacts byte-match too
+        assert Path(entries[i][1]).read_bytes() == (
+            tmp_path / f"s{i}.bed.gz").read_bytes()
+
+
+def test_batch_ingest_isolates_bad_files(tmp_path):
+    """A corrupt file gets a nonzero status; healthy files in the same batch
+    are unaffected (per-file status isolation, no batch-wide failure)."""
+    _native_or_skip()
+    from grid_tpu.native._ingest import ingest_batch
+    from grid_tpu.synth import make_synthetic_cohort_with_alignments
+
+    cohort = make_synthetic_cohort_with_alignments(
+        tmp_path, n_samples=3, seed=5, file_type="bam"
+    )
+    cfg = cohort["config"]
+    paths = sorted(Path(cfg["directory_loc"]).glob("*.bam"))
+    paths[1].write_bytes(b"garbage, not a BAM")
+
+    entries = [(str(p), "") for p in paths]
+    status, counts, covs, bins, _ = ingest_batch(
+        entries, cfg["chrom"], cfg["start_bp"], cfg["end_bp"],
+        cfg["count_reads"]["flags"], threads=2,
+    )
+    assert int(status[1]) != 0
+    assert int(status[0]) == 0 and int(status[2]) == 0
+    assert int(counts[0]) > 0 and int(counts[2]) > 0
+
+
+def test_fused_ingest_threaded_loop_parity(tmp_path, monkeypatch):
+    """GRID_TPU_BATCH_INGEST=0 forces the per-sample threaded loop; pipeline
+    artifacts stay identical to the batched default."""
+    _native_or_skip()
+    monkeypatch.setenv("GRID_TPU_BATCH_INGEST", "0")
+    outs = _run_both_modes(tmp_path, "bam", n_samples=4, seed=31)
+    seq, fus = outs["sequential"], outs["fused"]
+    assert seq["counts"] == fus["counts"]
+    assert seq["cov"] == fus["cov"]
+    assert seq["norm"] == fus["norm"]
+    assert seq["dip"] == fus["dip"]
