@@ -28,7 +28,10 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <memory>
+#include <mutex>
 #include <string>
+#include <unordered_map>
 #include <utility>
 #include <vector>
 
@@ -123,7 +126,8 @@ inline void* libdeflate_decompressor() {
 // GRID_TPU_BED_FORMAT=gzip for the legacy single-member gzip stream.
 struct BedWriter {
   gzFile out = nullptr;  // legacy gzip backend
-  FILE* bf = nullptr;    // BGZF backend
+  FILE* bf = nullptr;    // BGZF backend (file sink)
+  std::string* mem = nullptr;  // BGZF backend (memory sink — block cache)
   void* ld_comp = nullptr;
   z_stream zs;  // zlib raw-deflate fallback for BGZF blocks
   bool zs_live = false;
@@ -134,6 +138,20 @@ struct BedWriter {
   static bool use_bgzf() {
     const char* fmt = getenv("GRID_TPU_BED_FORMAT");
     return !(fmt && strcmp(fmt, "gzip") == 0);
+  }
+
+  bool init_bgzf_compressor() {
+    chunk.reserve(kBlock + 256);
+    cbuf.resize(1 << 16);
+    const LibDeflateApi& api = libdeflate_api();
+    if (api.ok) ld_comp = api.alloc_compressor(1);
+    if (!ld_comp) {
+      memset(&zs, 0, sizeof(zs));
+      if (deflateInit2(&zs, 1, Z_DEFLATED, -15, 8, Z_DEFAULT_STRATEGY) != Z_OK)
+        return false;
+      zs_live = true;
+    }
+    return true;
   }
 
   bool open(const char* path) {
@@ -147,20 +165,20 @@ struct BedWriter {
     }
     bf = fopen(path, "wb");
     if (!bf) return false;
-    chunk.reserve(kBlock + 256);
-    cbuf.resize(1 << 16);
-    const LibDeflateApi& api = libdeflate_api();
-    if (api.ok) ld_comp = api.alloc_compressor(1);
-    if (!ld_comp) {
-      memset(&zs, 0, sizeof(zs));
-      if (deflateInit2(&zs, 1, Z_DEFLATED, -15, 8, Z_DEFAULT_STRATEGY) != Z_OK) {
-        fclose(bf);
-        bf = nullptr;
-        return false;
-      }
-      zs_live = true;
+    if (!init_bgzf_compressor()) {
+      fclose(bf);
+      bf = nullptr;
+      return false;
     }
     return true;
+  }
+
+  // BGZF-to-memory mode: compressed blocks append to *sink (no file, no
+  // EOF marker) — used to build the reusable zero-contig block cache.
+  bool open_mem(std::string* sink) {
+    write_err = false;
+    mem = sink;
+    return init_bgzf_compressor();
   }
 
   void line(const char* name, size_t name_len, long long bs, long long be,
@@ -181,7 +199,7 @@ struct BedWriter {
     *p++ = (char)('0' + (char)(cents % 10));
     *p++ = '\n';
     chunk.append(buf, (size_t)(p - buf));
-    if (bf) {
+    if (bf || mem) {
       if (chunk.size() + sizeof(buf) > kBlock) flush();
     } else if (chunk.size() > (1 << 20) - 256) {
       flush();
@@ -190,7 +208,7 @@ struct BedWriter {
 
   void flush() {
     if (chunk.empty()) return;
-    if (bf) {
+    if (bf || mem) {
       flush_bgzf_block((const uint8_t*)chunk.data(), chunk.size());
     } else if (gzwrite(out, chunk.data(), (unsigned)chunk.size()) <= 0) {
       write_err = true;
@@ -198,10 +216,29 @@ struct BedWriter {
     chunk.clear();
   }
 
+  // Splice pre-compressed BGZF blocks (from the zero-run cache) into the
+  // stream. Flushes first so the splice sits on a block boundary.
+  void raw_blocks(const char* data, size_t n) {
+    flush();
+    if (bf) {
+      if (fwrite(data, 1, n, bf) != n) write_err = true;
+    } else if (mem) {
+      mem->append(data, n);
+    }
+  }
+
   // returns false on any write/close error
   bool close() {
     flush();
     bool ok;
+    if (mem) {
+      if (ld_comp) libdeflate_api().free_compressor(ld_comp);
+      ld_comp = nullptr;
+      if (zs_live) deflateEnd(&zs);
+      zs_live = false;
+      mem = nullptr;
+      return !write_err;
+    }
     if (bf) {
       // standard 28-byte BGZF EOF marker (SAMv1 §4.1.2)
       static const uint8_t kEof[28] = {
@@ -274,12 +311,85 @@ struct BedWriter {
     memcpy(tail, &crc, 4);
     uint32_t isize = (uint32_t)n;
     memcpy(tail + 4, &isize, 4);
+    if (mem) {
+      mem->append((const char*)hdr, 18);
+      mem->append((const char*)cbuf.data(), clen);
+      mem->append((const char*)tail, 8);
+      return;
+    }
     if (fwrite(hdr, 1, 18, bf) != 18 ||
         fwrite(cbuf.data(), 1, clen, bf) != clen ||
         fwrite(tail, 1, 8, bf) != 8)
       write_err = true;
   }
 };
+
+// Cohort-invariant zero-run block cache. A cohort's bed.gz files differ
+// only where reads landed: every bin range with no coverage produces
+// EXACTLY the same "name\tstart\tend\t0.00" lines in every sample, and
+// with BGZF framing (independent blocks) the compressed bytes can be
+// spliced verbatim. The cache holds, per (contig, length, bin_size), the
+// all-zero contig compressed into blocks of ~2,500 bins with each block's
+// bin range recorded; the per-sample writer splices cached blocks for
+// ranges its sample left untouched and fresh-compresses only blocks
+// containing a nonzero bin. For locus-windowed cohorts (the 1000G e2e
+// shape: one covered window in a 160k-bin contig) that removes ~99% of
+// the deflate work — the dominant cost of the dense genome-wide bed
+// (measured 15.6 of 15.9 ms/sample). Decompressed output is
+// byte-identical; only block boundaries move (deterministic, same for
+// every sample), which no gzip consumer observes. Process-wide,
+// deliberately leaked (DecodePool pattern); a cohort populates one entry
+// per contig on its first sample (~26 compressed bytes per block).
+struct ZeroRunBlocks {
+  struct Seg {
+    size_t lo, hi;   // bin range [lo, hi) carried by this block
+    size_t off, n;   // compressed bytes [off, off+n) in `bytes`
+  };
+  std::string bytes;
+  std::vector<Seg> segs;
+};
+
+inline const ZeroRunBlocks* zero_run_blocks(const std::string& name,
+                                            int64_t len, int32_t bin_size,
+                                            size_t n_bins) {
+  static std::mutex m;
+  static auto* cache =
+      new std::unordered_map<std::string, std::unique_ptr<ZeroRunBlocks>>();
+  std::string key = name;
+  key += '\0';
+  key += std::to_string(len);
+  key += '\0';
+  key += std::to_string(bin_size);
+  {
+    std::lock_guard<std::mutex> lk(m);
+    auto it = cache->find(key);
+    if (it != cache->end()) return it->second.get();
+  }
+  // build outside the lock (two first-samples may race: both build, one
+  // entry wins — harmless)
+  auto zb = std::make_unique<ZeroRunBlocks>();
+  BedWriter w;
+  if (!w.open_mem(&zb->bytes)) return nullptr;
+  size_t seg_lo = 0, prev_off = 0;
+  for (size_t b = 0; b < n_bins; ++b) {
+    int64_t bs = (int64_t)b * bin_size;
+    int64_t be = bs + bin_size < len ? bs + bin_size : len;
+    w.line(name.data(), name.size(), bs, be, 0);
+    if (zb->bytes.size() != prev_off) {  // line() emitted a block
+      zb->segs.push_back({seg_lo, b + 1, prev_off, zb->bytes.size() - prev_off});
+      prev_off = zb->bytes.size();
+      seg_lo = b + 1;
+    }
+  }
+  w.flush();
+  if (zb->bytes.size() != prev_off)
+    zb->segs.push_back({seg_lo, n_bins, prev_off, zb->bytes.size() - prev_off});
+  if (!w.close()) return nullptr;
+  std::lock_guard<std::mutex> lk(m);
+  auto& slot = (*cache)[key];
+  if (!slot) slot = std::move(zb);
+  return slot.get();
+}
 
 // Emit the full binned-depth bed.gz (mosdepth regions.bed.gz format).
 // skip_zero omits zero-depth bins EXCEPT each contig's final bin (the
@@ -292,10 +402,39 @@ inline bool write_bins_bed(
     bool skip_zero) {
   BedWriter w;
   if (!w.open(out_path)) return false;
+  const bool bgzf = BedWriter::use_bgzf() &&
+                    !(getenv("GRID_TPU_BED_NOCACHE") != nullptr);
   for (size_t i = 0; i < refs.size(); ++i) {
     const std::string& name = refs[i].first;
     const int64_t len = refs[i].second;
     const auto& bins = overlap[i];
+    const ZeroRunBlocks* zb =
+        (bgzf && !skip_zero && !bins.empty())
+            ? zero_run_blocks(name, len, bin_size, bins.size())
+            : nullptr;
+    if (zb) {
+      for (const auto& seg : zb->segs) {
+        bool zero = true;
+        for (size_t b = seg.lo; b < seg.hi; ++b)
+          if (bins[b] != 0) {
+            zero = false;
+            break;
+          }
+        if (zero) {
+          w.raw_blocks(zb->bytes.data() + seg.off, seg.n);
+          continue;
+        }
+        for (size_t b = seg.lo; b < seg.hi; ++b) {
+          int64_t bs = (int64_t)b * bin_size;
+          int64_t be = bs + bin_size < len ? bs + bin_size : len;
+          long long cents =
+              bed_depth_cents((double)bins[b] / (double)(be - bs));
+          w.line(name.data(), name.size(), bs, be, cents);
+        }
+        w.flush();  // keep later splices on block boundaries
+      }
+      continue;
+    }
     for (size_t b = 0; b < bins.size(); ++b) {
       if (skip_zero && bins[b] == 0 && b + 1 < bins.size()) continue;
       int64_t bs = (int64_t)b * bin_size;
