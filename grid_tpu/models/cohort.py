@@ -42,7 +42,11 @@ from grid_tpu.ops.knn import (
 )
 from grid_tpu.ops.normalize import normalize_cohort, select_high_variance_mask
 from grid_tpu.ops.phasing import PhasingResult, compute_imputed, phase_haplotypes
-from grid_tpu.ops.select import dipcn_from_distances_panels, dipcn_from_lists
+from grid_tpu.ops.select import (
+    dipcn_from_distances,
+    dipcn_from_distances_panels,
+    dipcn_from_lists,
+)
 
 
 class CohortParams(NamedTuple):
@@ -59,6 +63,10 @@ class CohortParams(NamedTuple):
     n_iters: int = 100  # phasing sweeps
     quantize: bool = True  # mimic %.2f file round-trip of scales/z
     row_block: int = 512  # kNN panel rows (large-N path)
+    dipcn_lists: bool = False  # recycle the sorted step-5 lists for the
+    # dipCN thresholds (dipcn_from_lists) — measured a tie vs the scratch
+    # bisection on the real chip (scripts/probe_dipcn_lists.py), kept as
+    # an opt-in for platforms where the d2 re-reads are not free
     use_pallas: bool = False  # experimental Pallas kNN (slower than the
     # XLA path under synchronized timing; see ops/pallas_kernels.py)
     # d2-resident fast path: materialize the [N, N] distance matrix once
@@ -200,15 +208,24 @@ def cohort_step(
     if d2_resident:
         # threshold dipCN: no [N, k] gathers (the measured 19.5 ms cost of
         # the gather formulation); exact stable-tie parity with the
-        # reference's sorted neighbor prefix (ops/select.py). The sorted
-        # step-5 lists double as the order statistics, so both key
-        # bisections and both tie-cuts come free (dipcn_from_lists;
-        # measured 1.79 -> ~0.4 ms at N=2504 — scripts/probe_dipcn_lists.py).
+        # reference's sorted neighbor prefix (ops/select.py). On the real
+        # chip the value-bisection form and the list-recycling form tie
+        # (scratch 3.33 ms vs lists 3.49 ms for fused steps 5-6 at N=2504,
+        # scripts/probe_dipcn_lists.py — XLA already runs the bisection
+        # passes at the memory floor, so recycling the sorted step-5 lists
+        # saves nothing); keep the longer-proven scratch form as default,
+        # dipcn_lists=True opts into the other.
         w = reads / scales
-        dipcn, dipcn_valid = dipcn_from_lists(
-            d2, sq_dists, nbr_idx, w, w, reads_valid, reads_valid,
-            k=params.num_neighbors, n_nbr=params.n_nbr,
-        )
+        if params.dipcn_lists:
+            dipcn, dipcn_valid = dipcn_from_lists(
+                d2, sq_dists, nbr_idx, w, w, reads_valid, reads_valid,
+                k=params.num_neighbors, n_nbr=params.n_nbr,
+            )
+        else:
+            dipcn, dipcn_valid = dipcn_from_distances(
+                d2, w, w, reads_valid, reads_valid,
+                k=params.num_neighbors, n_nbr=params.n_nbr,
+            )
     elif params.use_pallas:
         # experimental path: no zp in scope; keep the gather formulation
         nbr_usable = reads_valid[nbr_idx]
