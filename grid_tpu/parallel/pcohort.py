@@ -61,6 +61,7 @@ def sharded_cohort_step(
     hap_nbr_valid,
     params: CohortParams = CohortParams(),
     row_valid=None,
+    payload_ring: bool = True,
 ) -> CohortOutputs:
     """Explicit-collective variant. Host-side entry: pads + shards inputs,
     then runs psum-stats -> ring kNN -> local dipCN -> replicated phasing.
@@ -74,6 +75,11 @@ def sharded_cohort_step(
             pad+shard (inputs must already be [N_pad, ...] device arrays
             with cohort shardings — the :func:`stage_cohort_sharded` path,
             where the global matrix never exists on the host).
+        payload_ring: False restores the r2 formulation (plain ring kNN,
+            then dipCN via an all-gathered attribute vector and an [N, k]
+            neighbor gather) — a MEASUREMENT knob for the ring-vs-gather
+            comparison (scripts/bench_biobank.py), not a tuning choice:
+            on a real multi-host pod the replication is the cost.
     """
     if row_valid is None:
         values, mask, reads, reads_valid, row_valid = shard_cohort_inputs(
@@ -116,11 +122,20 @@ def sharded_cohort_step(
     w_row = jnp.where(usable_row, jnp.asarray(reads), 0) / jnp.where(
         scales == 0, 1, scales
     )
-    sq_dists, nbr_idx, nbr_contrib, nbr_usable = ring_knn(
-        zp, params.num_neighbors, mesh, row_valid=sample_ok,
-        payloads=(w_row, usable_row),
-    )
     rep = replicated_sharding(mesh)
+    if payload_ring:
+        sq_dists, nbr_idx, nbr_contrib, nbr_usable = ring_knn(
+            zp, params.num_neighbors, mesh, row_valid=sample_ok,
+            payloads=(w_row, usable_row),
+        )
+    else:
+        sq_dists, nbr_idx = ring_knn(
+            zp, params.num_neighbors, mesh, row_valid=sample_ok
+        )
+        w_all = jax.jit(lambda x: x, out_shardings=rep)(w_row)
+        u_all = jax.jit(lambda x: x, out_shardings=rep)(usable_row)
+        nbr_contrib = w_all[nbr_idx]
+        nbr_usable = u_all[nbr_idx]
 
     dipcn, dipcn_valid = compute_dipcn(
         jnp.asarray(reads) / scales,

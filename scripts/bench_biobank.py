@@ -86,14 +86,28 @@ def run_mesh(args):
     params = CohortParams(num_neighbors=args.k, n_nbr=min(300, args.k),
                           n_iters=0, quantize=False)
 
-    t0 = time.perf_counter()
-    out = sharded_cohort_step(
-        mesh, stage.values, stage.mask, reads, rv,
-        jnp.asarray(hi), jnp.asarray(hw), jnp.asarray(hv), params,
-        row_valid=stage.row_valid,
-    )
-    _sync(out.dipcn)
-    report["step_s"] = round(time.perf_counter() - t0, 2)
+    def run_step(payload_ring):
+        t0 = time.perf_counter()
+        out = sharded_cohort_step(
+            mesh, stage.values, stage.mask, reads, rv,
+            jnp.asarray(hi), jnp.asarray(hw), jnp.asarray(hv), params,
+            row_valid=stage.row_valid, payload_ring=payload_ring,
+        )
+        _sync(out.dipcn)
+        return time.perf_counter() - t0, out
+
+    forms = ([True, False] if args.compare else [True])
+    best = {}
+    out = None
+    for rnd in range(args.rounds):
+        for payload_ring in forms:
+            name = "ring" if payload_ring else "gather"
+            dt, out = run_step(payload_ring)
+            best[name] = min(best.get(name, float("inf")), dt)
+            print(f"round {rnd} {name}: {dt:.1f}s", flush=True)
+    report["step_s"] = round(best["ring"], 2)
+    if args.compare:
+        report["step_gather_s"] = round(best["gather"], 2)
     report["peak_rss_gb"] = round(peak_rss_gb(), 2)
     report["samples_per_s"] = round(n / report["step_s"], 1)
     dip = np.asarray(out.dipcn)[:n]
@@ -158,6 +172,11 @@ def main():
     ap.add_argument("--r", type=int, default=2048)
     ap.add_argument("--k", type=int, default=500)
     ap.add_argument("--devices", type=int, default=None)
+    ap.add_argument("--rounds", type=int, default=1,
+                    help="interleaved timing rounds; min reported")
+    ap.add_argument("--compare", action="store_true",
+                    help="time the payload ring AND the r2 replicated-"
+                         "gather form, interleaved")
     ap.add_argument("--tpu", action="store_true",
                     help="single-chip kNN probe instead of the CPU mesh run")
     args = ap.parse_args()

@@ -1,0 +1,130 @@
+"""BASELINE config-2 chained measurement (VERDICT r3 item 7): 100 samples
+x 3M 1kb bins from bed.gz ON DISK through host staging + device normalize,
+with the host/device time split recorded — docs/perf.md previously carried
+only the 22 ms on-device half.
+
+    # host staging half (any platform):
+    PYTHONPATH=/root/repo python scripts/bench_genomewide.py --out /tmp/gw
+
+    # + device half on the real chip:
+    PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_genomewide.py \
+        --out /tmp/gw --tpu
+
+Fabrication writes ONE genome-wide bed.gz (3M bins, gzip level 1) and
+hardlinks it per sample — identical content does not cheapen the work
+(every file is decompressed and parsed independently); fab time stands in
+for mosdepth and is reported separately. The device phase times
+normalize_cohort on on-device arrays of the staged shape (K-enqueue + one
+scalar readback, docs/perf.md methodology): the host->HBM copy is excluded
+because this environment's tunnel (~40 MB/s) is not representative of
+real-hardware DMA (~10 GB/s, which would add ~0.25 s for the 2.4 GB
+float64 matrix — or ~0.6 s at 1.2 GB if fed as float32).
+"""
+
+from __future__ import annotations
+
+import argparse
+import gzip
+import json
+import os
+import time
+from pathlib import Path
+
+import numpy as np
+
+N_SAMPLES = 100
+N_BINS = 3_000_000
+BIN = 1000
+
+
+def fabricate(out: Path) -> float:
+    beds = out / "mosdepth"
+    beds.mkdir(parents=True, exist_ok=True)
+    master = beds / "S000_region.regions.bed.gz"
+    t0 = time.perf_counter()
+    if not master.exists():
+        rng = np.random.default_rng(7)
+        depths = rng.normal(30.0, 3.0, N_BINS).clip(0.01)
+        starts = np.arange(N_BINS, dtype=np.int64) * BIN
+        chunks = []
+        step = 200_000
+        for lo in range(0, N_BINS, step):
+            hi = min(lo + step, N_BINS)
+            chunks.append("".join(
+                f"chr1\t{starts[i]}\t{starts[i] + BIN}\t{depths[i]:.2f}\n"
+                for i in range(lo, hi)
+            ).encode())
+        with gzip.open(master, "wb", compresslevel=1) as f:
+            for c in chunks:
+                f.write(c)
+    for i in range(1, N_SAMPLES):
+        link = beds / f"S{i:03d}_region.regions.bed.gz"
+        if not link.exists():
+            os.link(master, link)
+    return time.perf_counter() - t0
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--threads", type=int, default=2)
+    ap.add_argument("--tpu", action="store_true")
+    ap.add_argument("--iters", type=int, default=10)
+    args = ap.parse_args()
+
+    out = Path(args.out)
+    t_fab = fabricate(out)
+    print(f"fabricated {N_SAMPLES} x {N_BINS}-bin bed.gz in {t_fab:.1f}s",
+          flush=True)
+
+    from grid_tpu.io.staging import stage_cohort
+
+    samples = [f"S{i:03d}" for i in range(N_SAMPLES)]
+    t0 = time.perf_counter()
+    stage = stage_cohort(
+        out / "mosdepth", samples, "chr1", 0, N_BINS * BIN, {},
+        min_depth=0.01, max_depth=10_000.0, threads=args.threads,
+    )
+    t_stage = time.perf_counter() - t0
+    n, r = stage.values.shape
+    print(f"host staging: {t_stage:.1f}s -> [{n}, {r}] "
+          f"({stage.values.nbytes / 1e9:.2f} GB float64)", flush=True)
+
+    result = {
+        "metric": "genome-wide staged ingest (100 x 3M bins from bed.gz)",
+        "fab_s": round(t_fab, 2),
+        "host_stage_s": round(t_stage, 2),
+        "shape": [int(n), int(r)],
+    }
+
+    if args.tpu:
+        import jax
+        import jax.numpy as jnp
+
+        from grid_tpu.ops.normalize import normalize_cohort
+
+        dev = jax.devices()[0]
+        print(f"device: {dev}", flush=True)
+        key = jax.random.PRNGKey(0)
+        values = jax.device_put(
+            jax.random.normal(key, (n, r), jnp.float32) * 3.0 + 30.0, dev)
+        mask = jnp.ones((n, r), bool)
+        fn = jax.jit(lambda v, m: normalize_cohort(v, m))
+        sync = lambda res: np.asarray(jnp.sum(res.z[0, :8])).ravel()[0]
+        sync(fn(values, mask))  # compile
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            res = None
+            for _ in range(args.iters):
+                res = fn(values, mask)
+            sync(res)
+            best = min(best, (time.perf_counter() - t0) / args.iters)
+        print(f"device normalize: {best * 1e3:.1f} ms/iter", flush=True)
+        result["device_normalize_ms"] = round(best * 1e3, 1)
+
+    print(json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -107,6 +107,34 @@ def test_sharded_cohort_step_matches_fused(rng):
 
 
 @requires_multidevice
+def test_sharded_cohort_step_gather_form_matches(rng):
+    """payload_ring=False (the r2 replicated-gather measurement knob)
+    selects the same neighbors and produces the same dipCN."""
+    n, r = 22, 30
+    values, mask = _cohort_data(rng, n, r)
+    reads = rng.integers(500, 2000, size=n).astype(float)
+    reads_valid = np.ones(n, dtype=bool)
+    hi, hw, hv = pad_hap_neighbors([[] for _ in range(2 * n)], 1)
+    params = CohortParams(num_neighbors=6, n_nbr=6, n_iters=0, row_block=8)
+
+    mesh = cohort_mesh(8)
+    ring = sharded_cohort_step(
+        mesh, values, mask, reads, reads_valid, hi, hw, hv, params
+    )
+    gat = sharded_cohort_step(
+        mesh, values, mask, reads, reads_valid, hi, hw, hv, params,
+        payload_ring=False,
+    )
+    a_ok = np.asarray(ring.dipcn_valid)[:n]
+    b_ok = np.asarray(gat.dipcn_valid)[:n]
+    assert (a_ok == b_ok).all()
+    np.testing.assert_allclose(
+        np.asarray(gat.dipcn)[:n][b_ok], np.asarray(ring.dipcn)[:n][a_ok],
+        rtol=1e-9,
+    )
+
+
+@requires_multidevice
 def test_auto_sharded_cohort_step_runs(rng):
     n, r = 32, 16
     values, mask = _cohort_data(rng, n, r)
