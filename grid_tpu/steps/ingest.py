@@ -279,25 +279,30 @@ def run_fused_ingest(config, console=None, collect_staged=True):
             for _, path in items
         ]
         ctr = np.zeros(1, np.int64)
-        with progress_bar(console, total=len(items),
-                          description="Ingesting (one pass)") as (progress, task):
-            with ThreadPoolExecutor(max_workers=1) as ex:
-                fut = ex.submit(
-                    ingest_batch, entries, chrom, start, end, flags,
-                    count_min_mapq, bin_size=by, skip_zero=sparse_bed,
-                    windows=extra_wins or None, threads=max(1, threads),
-                    collect_bins=collect_staged, progress=ctr,
-                )
-                done_n = 0
-                while True:
-                    try:
-                        status, counts, covs, bins, wc = fut.result(timeout=0.2)
-                        break
-                    except FuturesTimeout:
-                        cur = int(ctr[0])
-                        progress.update(task, advance=cur - done_n)
-                        done_n = cur
-                progress.update(task, advance=len(items) - done_n)
+        try:
+            with progress_bar(console, total=len(items),
+                              description="Ingesting (one pass)") as (progress, task):
+                with ThreadPoolExecutor(max_workers=1) as ex:
+                    fut = ex.submit(
+                        ingest_batch, entries, chrom, start, end, flags,
+                        count_min_mapq, bin_size=by, skip_zero=sparse_bed,
+                        windows=extra_wins or None, threads=max(1, threads),
+                        collect_bins=collect_staged, progress=ctr,
+                    )
+                    done_n = 0
+                    while True:
+                        try:
+                            status, counts, covs, bins, wc = fut.result(timeout=0.2)
+                            break
+                        except FuturesTimeout:
+                            cur = int(ctr[0])
+                            progress.update(task, advance=cur - done_n)
+                            done_n = cur
+                    progress.update(task, advance=len(items) - done_n)
+        except Exception as e:  # batch entry itself died: per-sample loop
+            log(console, f"batched ingest unavailable ({e}); "
+                "using the per-sample loop", style="warning")
+            return False
 
         for i, (sample, path) in enumerate(items):
             if int(status[i]) != 0:
