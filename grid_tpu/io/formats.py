@@ -24,6 +24,16 @@ from pathlib import Path
 import numpy as np
 
 
+# Output gzip level for the large writers. Python's GzipFile default (9)
+# measured 4.9 s on the N=2504 x k=500 neighbors file vs 0.27 s at level 1
+# (~25% larger file); decompressed content — the parity contract — is
+# identical either way, and the reference's own .gz headers already differ
+# run-to-run (mtime). GRID_TPU_GZ_LEVEL overrides (e.g. 9 for archival).
+import os as _os
+
+_GZ_LEVEL = int(_os.environ.get("GRID_TPU_GZ_LEVEL", "1"))
+
+
 def open_maybe_gz(path, mode="rt"):
     """Open plain or gzipped text transparently (ref: grid/utils/utils.py:250-253)."""
     if str(path).endswith(".gz"):
@@ -139,7 +149,7 @@ def write_normalized_output(
         cells = np.char.mod(fmt, safe)
         return "\t".join(np.where(valid, cells, "NA").tolist())
 
-    with gzip.open(path, "wt") as out:
+    with gzip.open(path, "wt", compresslevel=_GZ_LEVEL) as out:
         out.write(f"{n}\t{r_want}\t" + _fmt_row(sel_means, ~np.isnan(sel_means), "%.3f") + "\n")
         out.write(f"{n}\t{r_want}\t" + _fmt_row(sel_ratios, ~np.isnan(sel_ratios), "%.3f") + "\n")
         z_sel = z[:, sel]
@@ -210,7 +220,7 @@ def write_neighbors(path, sample_ids, scales, nbr_ids, nbr_scales, nbr_norm_dist
         scales = {sid: s for sid, s in zip(sample_ids, scales)}
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
-    with gzip.open(path, "wt") as out:
+    with gzip.open(path, "wt", compresslevel=_GZ_LEVEL) as out:
         for i, sid in enumerate(sample_ids):
             if len(nbr_ids[i]):
                 # vectorized %.2f formatting of the scale/dist columns
@@ -253,7 +263,7 @@ def write_neighbors_dense(path, sample_ids, scales, nbr_idx, nbr_norm_dists) -> 
         cells[:, 4::3] = np.char.mod("%.2f", np.asarray(nbr_norm_dists))
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
-    with gzip.open(path, "wt") as out:
+    with gzip.open(path, "wt", compresslevel=_GZ_LEVEL) as out:
         for row in cells:
             out.write("\t".join(row))
             out.write("\n")
