@@ -10,6 +10,16 @@ phase and peak RSS.
     JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
         python scripts/bench_biobank.py --n 100000 --r 2048 --k 500
 
+Beyond ~150k rows on a 2-core host, a single ring hop's compute exceeds
+the CPU backend's stuck-collective terminate timeout (the process aborts
+inside CollectivePermute with a "Check failure" after the rendezvous
+waits too long — an artifact of 2 cores emulating 8 devices, not of the
+design). Raise it for capacity probes:
+
+    XLA_FLAGS="--xla_force_host_platform_device_count=8 \
+        --xla_cpu_collective_call_terminate_timeout_seconds=3600" \
+        JAX_PLATFORMS=cpu python scripts/bench_biobank.py --n 200000 ...
+
     # single real chip, kNN-only scaling probe:
     python scripts/bench_biobank.py --tpu --n 131072 --r 2048 --k 500
 """
