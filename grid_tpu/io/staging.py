@@ -49,14 +49,25 @@ class CohortStage(NamedTuple):
 
 def _dedupe_last_wins(starts, ends, depths):
     """Keep the LAST occurrence of each (start, end) pair, preserving the
-    reference's dict-overwrite semantics for duplicate lines."""
+    reference's dict-overwrite semantics for duplicate lines.
+
+    mosdepth beds are position-sorted, so the staged arrays are almost
+    always already non-decreasing in (start, end) — that case is a single
+    O(n) boundary scan. The general case uses a STABLE argsort of the
+    packed uint64 keys (np.unique(axis=0)'s void-dtype argsort measured
+    ~0.4 s per 3M-row sample; this path is ~20x cheaper)."""
     if len(starts) == 0:
         return starts, ends, depths
-    keys = np.stack([starts, ends], axis=1)
-    # np.unique keeps the first occurrence; reverse so the last wins
-    _, idx = np.unique(keys[::-1], axis=0, return_index=True)
-    keep = len(starts) - 1 - idx
-    keep.sort()
+    keys = _composite(starts, ends)
+    if len(keys) > 1 and not (keys[1:] >= keys[:-1]).all():
+        order = np.argsort(keys, kind="stable")
+        starts, ends, depths, keys = (
+            starts[order], ends[order], depths[order], keys[order]
+        )
+    # last of each equal run (stable order preserves file order within runs)
+    keep = np.empty(len(keys), dtype=bool)
+    keep[-1] = True
+    keep[:-1] = keys[1:] != keys[:-1]
     return starts[keep], ends[keep], depths[keep]
 
 
@@ -106,20 +117,25 @@ def population_mean_depths(per_sample):
     """Population mean depth per region over samples carrying it
     (ref: grid/utils/normalize_mosdepth.py:289-301).
 
-    Returns (regions [M, 2] sorted, means [M]).
+    Returns (regions [M, 2] sorted, means [M]). Runs on packed uint64
+    keys: 1-D np.unique + np.bincount instead of np.unique(axis=0) +
+    np.add.at — the latter pair measured 52 s of a 65 s staging call at
+    10 x 3M rows (void-dtype argsort + unbuffered scatter-add).
     """
     all_keys = [
-        np.stack([s, e], axis=1) for (s, e, _) in per_sample.values() if len(s)
+        _composite(s, e) for (s, e, _) in per_sample.values() if len(s)
     ]
     if not all_keys:
         return np.empty((0, 2), np.int64), np.empty(0, np.float64)
-    keys = np.concatenate(all_keys, axis=0)
+    keys = np.concatenate(all_keys)
     depths = np.concatenate([d for (_, _, d) in per_sample.values() if len(d)])
-    uniq, inv = np.unique(keys, axis=0, return_inverse=True)
-    sums = np.zeros(len(uniq))
-    counts = np.zeros(len(uniq), dtype=np.int64)
-    np.add.at(sums, inv, depths)
-    np.add.at(counts, inv, 1)
+    uniq_keys, inv = np.unique(keys, return_inverse=True)
+    sums = np.bincount(inv, weights=depths, minlength=len(uniq_keys))
+    counts = np.bincount(inv, minlength=len(uniq_keys))
+    uniq = np.stack(
+        [(uniq_keys >> np.uint64(32)).astype(np.int64),
+         (uniq_keys & np.uint64(0xFFFFFFFF)).astype(np.int64)], axis=1
+    )
     return uniq, sums / counts
 
 

@@ -206,3 +206,50 @@ def test_sample_rows_mapping_with_empty_sample():
         assert rv[rows[i]]
         assert np.allclose(vals[rows[i]][np.asarray(stage.mask)[rows[i]]],
                            30.0 + i)
+
+
+def test_dedupe_last_wins_sorted_and_unsorted():
+    """Both _dedupe_last_wins paths (O(n) sorted scan; stable-argsort
+    general case) keep the LAST duplicate's depth — the reference's
+    dict-overwrite semantics."""
+    import numpy as np
+
+    from grid_tpu.io.staging import _dedupe_last_wins
+
+    # sorted input (mosdepth order) with a duplicate run
+    s = np.array([100, 200, 200, 300], dtype=np.int64)
+    e = s + 100
+    d = np.array([1.0, 2.0, 9.0, 4.0])
+    rs, re_, rd = _dedupe_last_wins(s, e, d)
+    np.testing.assert_array_equal(rs, [100, 200, 300])
+    np.testing.assert_array_equal(rd, [1.0, 9.0, 4.0])
+
+    # unsorted input (chr/no-chr alternate lines interleave): same contract
+    s = np.array([300, 100, 300, 200], dtype=np.int64)
+    e = s + 100
+    d = np.array([7.0, 1.0, 8.0, 2.0])
+    rs, re_, rd = _dedupe_last_wins(s, e, d)
+    np.testing.assert_array_equal(rs, [100, 200, 300])
+    np.testing.assert_array_equal(rd, [1.0, 2.0, 8.0])
+
+
+def test_population_mean_depths_matches_dict_oracle():
+    import numpy as np
+
+    from grid_tpu.io.staging import population_mean_depths
+
+    rng = np.random.default_rng(3)
+    per_sample = {}
+    oracle_sum, oracle_cnt = {}, {}
+    for i in range(5):
+        starts = np.sort(rng.choice(np.arange(50) * 100, 20, replace=False))
+        ends = starts + 100
+        depths = rng.uniform(0.5, 30.0, 20)
+        per_sample[f"S{i}"] = (starts.astype(np.int64), ends.astype(np.int64), depths)
+        for st, en, de in zip(starts, ends, depths):
+            oracle_sum[(st, en)] = oracle_sum.get((st, en), 0.0) + de
+            oracle_cnt[(st, en)] = oracle_cnt.get((st, en), 0) + 1
+    regions, means = population_mean_depths(per_sample)
+    assert len(regions) == len(oracle_sum)
+    for (st, en), m in zip(map(tuple, regions), means):
+        assert abs(m - oracle_sum[(st, en)] / oracle_cnt[(st, en)]) < 1e-12
