@@ -132,3 +132,47 @@ def test_fused_ingest_emits_bgzf(tmp_path):
     assert beds
     for bed in beds:
         _assert_valid_bgzf(bed.read_bytes())
+
+
+def test_zero_run_cache_byte_parity_multi_contig(tmp_path, monkeypatch):
+    """The zero-run block cache (round 4) must be invisible at the text
+    level: covered contig + all-zero contig + partial final bin (length
+    not a bin multiple) produce identical decompressed bytes with the
+    cache on (default), off (GRID_TPU_BED_NOCACHE=1), and in the legacy
+    gzip container."""
+    _native_or_skip()
+    import numpy as np
+
+    from grid_tpu.io.bamlite import encode_record, write_bam
+    from grid_tpu.native import bam
+
+    rng = np.random.default_rng(5)
+    recs = []
+    for i, pos in enumerate(np.sort(rng.integers(0, 1_900_000, 300))):
+        recs.append(encode_record(0, int(pos), 99, mapq=40,
+                                  read_name=f"r{i}", seq_len=100,
+                                  next_refid=0, next_pos=int(pos) + 150))
+    # chrM: 16571 bp -> final bin [16000, 16571); chr7 stays all-zero
+    bam_path = tmp_path / "m.bam"
+    write_bam(bam_path, [("chr6", 2_000_000), ("chr7", 1_000_000),
+                         ("chrM", 16_571)], recs)
+
+    outs = {}
+    for mode, env in [
+        ("cached", {}),
+        ("nocache", {"GRID_TPU_BED_NOCACHE": "1"}),
+        ("gzip", {"GRID_TPU_BED_FORMAT": "gzip"}),
+    ]:
+        for k in ("GRID_TPU_BED_NOCACHE", "GRID_TPU_BED_FORMAT"):
+            monkeypatch.delenv(k, raising=False)
+        for k, v in env.items():
+            monkeypatch.setenv(k, v)
+        out = tmp_path / f"{mode}.bed.gz"
+        bam.binned_depth(bam_path, out, bin_size=1000)
+        outs[mode] = gzip.open(out, "rb").read()
+
+    assert outs["cached"] == outs["nocache"]
+    assert outs["cached"] == outs["gzip"]
+    text = outs["cached"].decode()
+    assert "chrM\t16000\t16571\t" in text            # partial final bin
+    assert text.count("chr7\t") == 1000              # all-zero contig kept
