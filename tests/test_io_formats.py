@@ -183,3 +183,45 @@ def test_read_regions_bed_gz_filters(tmp_path):
 def test_norm_chrom():
     assert norm_chrom("6") == "chr6"
     assert norm_chrom("chrX") == "chrX"
+
+
+def test_native_neighbors_writer_matches_python(tmp_path, monkeypatch):
+    """grid_write_neighbors (native/src/textgz.cpp) produces the same
+    decompressed bytes as the Python writer, including %.2f tie
+    neighborhoods (x.xx5) and float32 distance inputs."""
+    import gzip as _gz
+    import shutil
+
+    import numpy as np
+    import pytest as _pt
+
+    if shutil.which("g++") is None:
+        _pt.skip("no C++ toolchain")
+    try:
+        from grid_tpu import native
+
+        native.lib()
+    except Exception as e:  # pragma: no cover
+        _pt.skip(f"native build failed: {e}")
+
+    from grid_tpu.io.formats import write_neighbors_dense
+
+    rng = np.random.default_rng(11)
+    n, k = 37, 9
+    ids = [f"HG{i:05d}" for i in range(n)]
+    scales = np.round(rng.uniform(0.5, 60.0, n), 4)
+    scales[3] = 1.005  # printf tie neighborhood
+    scales[5] = 2.675
+    idx = rng.integers(0, n, (n, k)).astype(np.int64)
+    dists = rng.uniform(0, 3, (n, k)).astype(np.float32)
+    dists[0, 0] = np.float32(0.005)
+
+    p_native = tmp_path / "nat.tsv.gz"
+    p_python = tmp_path / "py.tsv.gz"
+    write_neighbors_dense(p_native, ids, scales, idx, dists)
+    monkeypatch.setenv("GRID_TPU_NATIVE_WRITERS", "0")
+    write_neighbors_dense(p_python, ids, scales, idx, dists)
+
+    a = _gz.open(p_native, "rb").read()
+    b = _gz.open(p_python, "rb").read()
+    assert a == b
