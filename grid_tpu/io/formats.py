@@ -142,6 +142,14 @@ def write_normalized_output(
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
 
+    # native fast path (native/src/textgz.cpp grid_write_normalized):
+    # printf-identical %.2f/%.3f/NA/nan emission + BGZF blocks; decompressed
+    # bytes pinned against the Python path (tests/test_io_formats.py).
+    if _native_write_normalized(path, sample_ids, sample_scales,
+                                z[:, sel], mask[:, sel], sel_means,
+                                sel_ratios):
+        return
+
     def _fmt_row(vals, valid, fmt):
         # vectorized %-formatting (np.char.mod uses the same C printf as
         # f-strings, so output is byte-identical to the per-cell loop)
@@ -276,6 +284,40 @@ def write_neighbors_dense(path, sample_ids, scales, nbr_idx, nbr_norm_dists) -> 
         for row in cells:
             out.write("\t".join(row))
             out.write("\n")
+
+
+def _native_write_normalized(path, sample_ids, scales, z_sel, m_sel,
+                             sel_means, sel_ratios) -> bool:
+    """grid_write_normalized via ctypes; False -> Python writer."""
+    import os as _os
+
+    if _os.environ.get("GRID_TPU_NATIVE_WRITERS", "1") == "0":
+        return False
+    try:
+        import ctypes as _ct
+
+        from grid_tpu import native
+
+        lib = native.lib()
+        ids_buf = b"".join(str(s).encode() + b"\0" for s in sample_ids)
+        n = len(sample_ids)
+        r = z_sel.shape[1] if z_sel.ndim == 2 else 0
+        z64 = np.ascontiguousarray(np.asarray(z_sel, dtype=np.float64))
+        m8 = np.ascontiguousarray(np.asarray(m_sel, dtype=np.uint8))
+        s64 = np.ascontiguousarray(np.asarray(scales, dtype=np.float64))
+        mu64 = np.ascontiguousarray(np.asarray(sel_means, dtype=np.float64))
+        ra64 = np.ascontiguousarray(np.asarray(sel_ratios, dtype=np.float64))
+        rc = lib.grid_write_normalized(
+            str(path).encode(), ids_buf, _ct.c_int64(n), _ct.c_int64(r),
+            s64.ctypes.data_as(_ct.POINTER(_ct.c_double)),
+            z64.ctypes.data_as(_ct.POINTER(_ct.c_double)),
+            m8.ctypes.data_as(_ct.POINTER(_ct.c_uint8)),
+            mu64.ctypes.data_as(_ct.POINTER(_ct.c_double)),
+            ra64.ctypes.data_as(_ct.POINTER(_ct.c_double)),
+        )
+        return rc == 0
+    except Exception:
+        return False
 
 
 def _native_write_neighbors(path, sample_ids, scales, nbr_idx, dists) -> bool:

@@ -12,6 +12,7 @@
 // Line format (grid/utils/find_neighbors.py:231-267):
 //   ID \t scale \t (nbrID \t nbrScale \t dist) * k \n
 
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -20,18 +21,43 @@
 
 namespace {
 
-inline void append_f2(std::string& out, double v, char* buf) {
-  if (v < 0.0) {  // bed_depth_cents is unsigned-domain; defer to printf
-    int m = snprintf(buf, 64, "%.2f", v);
+// printf-identical "%.{2,3}f" via the bedwrite integer strategy: round the
+// magnitude in fixed units with llrint (round-half-even, printf's decimal
+// tie rule), defer to snprintf inside the guard band around exact ties and
+// for huge values. Sign handled like printf: "-0.00" for tiny negatives
+// and for IEEE -0.0 (Python's %-format prints those too).
+inline void append_fixed(std::string& out, double v, int dec, char* buf) {
+  if (std::isnan(v)) {
+    out.append("nan", 3);  // Python %-format: always unsigned "nan"
+    return;
+  }
+  if (std::isinf(v)) {
+    if (v < 0) out.push_back('-');
+    out.append("inf", 3);
+    return;
+  }
+  double av = v < 0 ? -v : v;
+  double mult = dec == 2 ? 100.0 : 1000.0;
+  double scaled = av * mult;
+  long long k = llrint(scaled);
+  double d = scaled - (double)k;
+  if (av >= 9e15 || d > 0.4999999 || d < -0.4999999) {
+    int m = snprintf(buf, 80, "%.*f", dec, v);
     out.append(buf, (size_t)(m > 0 ? m : 0));
     return;
   }
-  long long cents = gridtpu::bed_depth_cents(v);
-  char* q = gridtpu::bed_u64toa((unsigned long long)(cents / 100), buf);
+  if (v < 0 || (v == 0.0 && std::signbit(v))) out.push_back('-');
+  long long unit = dec == 2 ? 100 : 1000;
+  char* q = gridtpu::bed_u64toa((unsigned long long)(k / unit), buf);
   *q++ = '.';
-  *q++ = (char)('0' + (char)((cents / 10) % 10));
-  *q++ = (char)('0' + (char)(cents % 10));
+  if (dec == 3) *q++ = (char)('0' + (char)((k / 100) % 10));
+  *q++ = (char)('0' + (char)((k / 10) % 10));
+  *q++ = (char)('0' + (char)(k % 10));
   out.append(buf, (size_t)(q - buf));
+}
+
+inline void append_f2(std::string& out, double v, char* buf) {
+  append_fixed(out, v, 2, buf);
 }
 
 }  // namespace
@@ -79,6 +105,69 @@ int grid_write_neighbors(const char* path, const char* ids, int64_t n,
       w.chunk.append(sstr[t]);
       w.chunk.push_back('\t');
       append_f2(w.chunk, row_d[j], buf);
+      if (w.chunk.size() > 0xf000) w.flush();
+    }
+    w.chunk.push_back('\n');
+    if (w.chunk.size() > 0xf000) w.flush();
+  }
+  return w.close() ? 0 : -2;
+}
+
+// Step-4 artifact (io/formats.py write_normalized_output; ref format
+// grid/utils/normalize_mosdepth.py:502-554):
+//   line 0: N \t Rwant \t mu_j...       (%.3f, "NA" where NaN)
+//   line 1: N \t Rwant \t ratio_j...    (%.3f, "NA" where NaN)
+//   rows  : ID \t scale(%.2f) \t z_ij...(%.2f, "NA" where ~mask)
+// z/mask are [n*r] row-major over the ALREADY column-selected matrix.
+int grid_write_normalized(const char* path, const char* ids, int64_t n,
+                          int64_t r, const double* scales, const double* z,
+                          const uint8_t* mask, const double* means,
+                          const double* ratios) {
+  std::vector<const char*> idp((size_t)n);
+  std::vector<size_t> idlen((size_t)n);
+  const char* p = ids;
+  for (int64_t i = 0; i < n; ++i) {
+    idp[i] = p;
+    idlen[i] = strlen(p);
+    p += idlen[i] + 1;
+  }
+
+  gridtpu::BedWriter w;
+  if (!w.open(path)) return -1;
+  char buf[96];
+
+  auto header = [&](const double* vals) {
+    char* q = gridtpu::bed_u64toa((unsigned long long)n, buf);
+    *q++ = '\t';
+    q = gridtpu::bed_u64toa((unsigned long long)r, q);
+    w.chunk.append(buf, (size_t)(q - buf));
+    for (int64_t j = 0; j < r; ++j) {
+      w.chunk.push_back('\t');
+      if (std::isnan(vals[j])) {
+        w.chunk.append("NA", 2);
+      } else {
+        append_fixed(w.chunk, vals[j], 3, buf);
+      }
+      if (w.chunk.size() > 0xf000) w.flush();
+    }
+    w.chunk.push_back('\n');
+  };
+  header(means);
+  header(ratios);
+
+  for (int64_t i = 0; i < n; ++i) {
+    w.chunk.append(idp[i], idlen[i]);
+    w.chunk.push_back('\t');
+    append_fixed(w.chunk, scales[i], 2, buf);
+    const double* zr = z + i * r;
+    const uint8_t* mr = mask + i * r;
+    for (int64_t j = 0; j < r; ++j) {
+      w.chunk.push_back('\t');
+      if (mr[j]) {
+        append_fixed(w.chunk, zr[j], 2, buf);
+      } else {
+        w.chunk.append("NA", 2);
+      }
       if (w.chunk.size() > 0xf000) w.flush();
     }
     w.chunk.push_back('\n');

@@ -225,3 +225,94 @@ def test_native_neighbors_writer_matches_python(tmp_path, monkeypatch):
     a = _gz.open(p_native, "rb").read()
     b = _gz.open(p_python, "rb").read()
     assert a == b
+
+
+def test_native_normalized_writer_matches_python(tmp_path, monkeypatch):
+    """grid_write_normalized: identical decompressed bytes vs the Python
+    writer — NA headers, masked cells, NaN-in-valid-cell, negative zeros,
+    %.2f/%.3f tie neighborhoods, float32 z input."""
+    import gzip as _gz
+    import shutil
+
+    import numpy as np
+    import pytest as _pt
+
+    if shutil.which("g++") is None:
+        _pt.skip("no C++ toolchain")
+    try:
+        from grid_tpu import native
+
+        native.lib()
+    except Exception as e:  # pragma: no cover
+        _pt.skip(f"native build failed: {e}")
+
+    from grid_tpu.io.formats import write_normalized_output
+
+    rng = np.random.default_rng(7)
+    n, r = 23, 41
+    ids = [f"HG{i:05d}" for i in range(n)]
+    scales = np.round(rng.uniform(0.5, 60.0, n), 4)
+    z = rng.normal(0, 1.5, (n, r)).astype(np.float32)
+    z[0, 0] = np.float32(-0.001)   # printf: "-0.00"
+    z[0, 1] = np.float32(-0.0)     # printf: "-0.00"
+    z[1, 2] = np.float32(0.005)    # tie neighborhood
+    z[2, 3] = np.nan               # valid cell, nan value -> "nan"
+    mask = rng.random((n, r)) > 0.2
+    mask[2, 3] = True
+    col_means = rng.uniform(0.1, 5.0, r)
+    col_means[5] = np.nan          # header NA
+    col_means[6] = 0.0             # ratio -> NA (mean <= 0)
+    col_vars = rng.uniform(0.0, 3.0, r)
+    sel = np.arange(r)
+
+    p_nat = tmp_path / "nat.tsv.gz"
+    p_py = tmp_path / "py.tsv.gz"
+    write_normalized_output(p_nat, ids, scales, z, mask, col_means,
+                            col_vars, sel)
+    monkeypatch.setenv("GRID_TPU_NATIVE_WRITERS", "0")
+    write_normalized_output(p_py, ids, scales, z, mask, col_means,
+                            col_vars, sel)
+    assert _gz.open(p_nat, "rb").read() == _gz.open(p_py, "rb").read()
+
+
+def test_native_fixed_format_fuzz(tmp_path, monkeypatch):
+    """Fuzz the native %.2f/%.3f emitters against printf over 200k values
+    spanning magnitudes, rationals with exact .xx5 ties, and negatives
+    (one [1, 200k] matrix written by both writers, byte-compared)."""
+    import gzip as _gz
+    import shutil
+
+    import numpy as np
+    import pytest as _pt
+
+    if shutil.which("g++") is None:
+        _pt.skip("no C++ toolchain")
+    try:
+        from grid_tpu import native
+
+        native.lib()
+    except Exception as e:  # pragma: no cover
+        _pt.skip(f"native build failed: {e}")
+
+    from grid_tpu.io.formats import write_normalized_output
+
+    rng = np.random.default_rng(13)
+    m = 200_000
+    vals = np.concatenate([
+        rng.uniform(-100, 100, m // 4),
+        rng.integers(-10_000, 10_000, m // 4) / 1000.0,  # exact milli ties
+        rng.integers(-10_000, 10_000, m // 4) / 200.0,   # exact .xx5 ties
+        rng.normal(0, 1e-3, m - 3 * (m // 4)),           # near-zero signs
+    ])
+    z = vals.reshape(1, -1)
+    mask = np.ones_like(z, bool)
+    means = np.abs(vals[:z.shape[1]]) + 0.001  # header %.3f over same values
+    cvars = np.abs(vals[:z.shape[1]])
+    sel = np.arange(z.shape[1])
+
+    p_nat = tmp_path / "fz_nat.gz"
+    p_py = tmp_path / "fz_py.gz"
+    write_normalized_output(p_nat, ["S0"], [1.0], z, mask, means, cvars, sel)
+    monkeypatch.setenv("GRID_TPU_NATIVE_WRITERS", "0")
+    write_normalized_output(p_py, ["S0"], [1.0], z, mask, means, cvars, sel)
+    assert _gz.open(p_nat, "rb").read() == _gz.open(p_py, "rb").read()
