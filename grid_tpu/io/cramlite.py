@@ -1541,7 +1541,16 @@ def write_cram(path, references, records, slice_records: int = 10_000,
     for r in recs:
         if r.rl == 0 and r.seq:
             r.rl = len(r.seq)
-        if r.cigar and r.seq is not None and _cigar_read_len(r.cigar) != r.rl:
+        if r.cigar and r.seq is None and r.rl == 0 and not _cigar_is_trivial(r.cigar):
+            # SEQ "*" with an unknown length: the CIGAR is the only
+            # read-length carrier — heal rl so the S/I placeholder
+            # payloads are cut to the right size
+            r.rl = _cigar_read_len(r.cigar)
+        if r.cigar and _cigar_read_len(r.cigar) != r.rl:
+            # applies to seq-less records too: a short rl would silently
+            # truncate the S/I placeholder payloads and corrupt the
+            # round-tripped CIGAR (and diverge from the C twin, which
+            # sizes payloads from the CIGAR)
             raise ValueError(
                 f"cram: CIGAR read length {_cigar_read_len(r.cigar)} != "
                 f"rl {r.rl} for {r.name!r}"

@@ -31,7 +31,10 @@ import numpy as np
 # run-to-run (mtime). GRID_TPU_GZ_LEVEL overrides (e.g. 9 for archival).
 import os as _os
 
-_GZ_LEVEL = int(_os.environ.get("GRID_TPU_GZ_LEVEL", "1"))
+
+def _gz_level() -> int:
+    """Read at call time so runtime changes to the env var take effect."""
+    return int(_os.environ.get("GRID_TPU_GZ_LEVEL", "1"))
 
 
 def open_maybe_gz(path, mode="rt"):
@@ -142,12 +145,14 @@ def write_normalized_output(
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
 
+    z_sel = z[:, sel]
+    m_sel = mask[:, sel]
+
     # native fast path (native/src/textgz.cpp grid_write_normalized):
     # printf-identical %.2f/%.3f/NA/nan emission + BGZF blocks; decompressed
     # bytes pinned against the Python path (tests/test_io_formats.py).
     if _native_write_normalized(path, sample_ids, sample_scales,
-                                z[:, sel], mask[:, sel], sel_means,
-                                sel_ratios):
+                                z_sel, m_sel, sel_means, sel_ratios):
         return
 
     def _fmt_row(vals, valid, fmt):
@@ -157,11 +162,9 @@ def write_normalized_output(
         cells = np.char.mod(fmt, safe)
         return "\t".join(np.where(valid, cells, "NA").tolist())
 
-    with gzip.open(path, "wt", compresslevel=_GZ_LEVEL) as out:
+    with gzip.open(path, "wt", compresslevel=_gz_level()) as out:
         out.write(f"{n}\t{r_want}\t" + _fmt_row(sel_means, ~np.isnan(sel_means), "%.3f") + "\n")
         out.write(f"{n}\t{r_want}\t" + _fmt_row(sel_ratios, ~np.isnan(sel_ratios), "%.3f") + "\n")
-        z_sel = z[:, sel]
-        m_sel = mask[:, sel]
         for i, sid in enumerate(sample_ids):
             out.write(
                 f"{sid}\t{sample_scales[i]:.2f}\t"
@@ -228,7 +231,7 @@ def write_neighbors(path, sample_ids, scales, nbr_ids, nbr_scales, nbr_norm_dist
         scales = {sid: s for sid, s in zip(sample_ids, scales)}
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
-    with gzip.open(path, "wt", compresslevel=_GZ_LEVEL) as out:
+    with gzip.open(path, "wt", compresslevel=_gz_level()) as out:
         for i, sid in enumerate(sample_ids):
             if len(nbr_ids[i]):
                 # vectorized %.2f formatting of the scale/dist columns
@@ -280,7 +283,7 @@ def write_neighbors_dense(path, sample_ids, scales, nbr_idx, nbr_norm_dists) -> 
         cells[:, 2::3] = ids[nbr_idx]
         cells[:, 3::3] = np.char.mod("%.2f", scales[nbr_idx])
         cells[:, 4::3] = np.char.mod("%.2f", np.asarray(nbr_norm_dists))
-    with gzip.open(path, "wt", compresslevel=_GZ_LEVEL) as out:
+    with gzip.open(path, "wt", compresslevel=_gz_level()) as out:
         for row in cells:
             out.write("\t".join(row))
             out.write("\n")
@@ -292,6 +295,10 @@ def _native_write_normalized(path, sample_ids, scales, z_sel, m_sel,
     import os as _os
 
     if _os.environ.get("GRID_TPU_NATIVE_WRITERS", "1") == "0":
+        return False
+    if _os.environ.get("GRID_TPU_GZ_LEVEL", "1") != "1":
+        # the native sink is fixed at level 1; honor the override by
+        # letting the Python writer emit at the requested level
         return False
     try:
         import ctypes as _ct
@@ -326,6 +333,10 @@ def _native_write_neighbors(path, sample_ids, scales, nbr_idx, dists) -> bool:
     import os as _os
 
     if _os.environ.get("GRID_TPU_NATIVE_WRITERS", "1") == "0":
+        return False
+    if _os.environ.get("GRID_TPU_GZ_LEVEL", "1") != "1":
+        # the native sink is fixed at level 1; honor the override by
+        # letting the Python writer emit at the requested level
         return False
     try:
         import ctypes as _ct

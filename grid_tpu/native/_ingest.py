@@ -35,6 +35,25 @@ def _window_cap(start, end, bin_size):
     return 4 * ((int(end) - int(start)) // int(bin_size) + 2) + 1024
 
 
+def _marshal_shared(flags, chrom, stage_chrom_prefix, windows):
+    """Arg marshalling shared by the per-file and batched calls — ONE
+    implementation of the flag ordering, the chr-prefix rule, and the
+    window-buffer packing, so the two dispatch paths cannot drift."""
+    flag_list = sorted(int(f) for f in flags)
+    prefix = stage_chrom_prefix
+    if prefix is None:
+        c = str(chrom)
+        prefix = c if c.startswith("chr") else f"chr{c}"
+    n_win = len(windows) if windows else 0
+    if n_win:
+        win_chroms = b"".join(str(w[0]).encode() + b"\0" for w in windows)
+        win_starts = np.array([int(w[1]) for w in windows], np.int64)
+        win_ends = np.array([int(w[2]) for w in windows], np.int64)
+    else:
+        win_chroms = win_starts = win_ends = None
+    return flag_list, prefix, n_win, win_chroms, win_starts, win_ends
+
+
 def ingest_call(cfn, name, path, out_bed_gz, chrom, start, end, flags,
                 count_min_mapq=1, bin_size=1000, exclude_flags=1796,
                 bin_min_mapq=0, skip_zero=False, stage_chrom_prefix=None,
@@ -54,18 +73,10 @@ def ingest_call(cfn, name, path, out_bed_gz, chrom, start, end, flags,
         cfn.argtypes = _ARGTYPES
         cfn._configured = True
 
-    flag_list = sorted(int(f) for f in flags)
+    flag_list, prefix, n_win, win_chroms, win_starts, win_ends = (
+        _marshal_shared(flags, chrom, stage_chrom_prefix, windows))
     arr = (_ct.c_int32 * max(len(flag_list), 1))(*(flag_list or [0]))
-    prefix = stage_chrom_prefix
-    if prefix is None:
-        c = str(chrom)
-        prefix = c if c.startswith("chr") else f"chr{c}"
-
-    n_win = len(windows) if windows else 0
     if n_win:
-        win_chroms = b"".join(str(w[0]).encode() + b"\0" for w in windows)
-        win_starts = np.array([int(w[1]) for w in windows], np.int64)
-        win_ends = np.array([int(w[2]) for w in windows], np.int64)
         win_counts = np.zeros(n_win, np.int64)
         wargs = (win_chroms, win_starts.ctypes.data_as(_I64P),
                  win_ends.ctypes.data_as(_I64P), n_win,
@@ -161,18 +172,10 @@ def ingest_batch(entries, chrom, start, end, flags, count_min_mapq=1,
         [1 if str(p).endswith(".cram") else 0 for p, _ in entries], np.int32
     )
 
-    flag_list = sorted(int(f) for f in flags)
+    flag_list, prefix, n_win, win_chroms, win_starts, win_ends = (
+        _marshal_shared(flags, chrom, stage_chrom_prefix, windows))
     flag_arr = np.array(flag_list or [0], np.int32)
-    prefix = stage_chrom_prefix
-    if prefix is None:
-        c = str(chrom)
-        prefix = c if c.startswith("chr") else f"chr{c}"
-
-    n_win = len(windows) if windows else 0
     if n_win:
-        win_chroms = b"".join(str(w[0]).encode() + b"\0" for w in windows)
-        win_starts = np.array([int(w[1]) for w in windows], np.int64)
-        win_ends = np.array([int(w[2]) for w in windows], np.int64)
         win_counts = np.zeros((n, n_win), np.int64)
         wargs = (win_chroms, win_starts.ctypes.data_as(_I64P),
                  win_ends.ctypes.data_as(_I64P), n_win)

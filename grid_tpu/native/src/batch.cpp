@@ -103,6 +103,10 @@ int grid_ingest_batch(const char* paths, const char* beds,
   // grow-and-retry on -5 using the exact nbins the core reports.
   int64_t est = 4 * ((wend - wstart) / (bin_size > 0 ? bin_size : 1000) + 2) +
                 1024;
+  // A reversed window (wend < wstart) must not turn into a negative vector
+  // size — the ctor would throw inside a worker thread and std::terminate
+  // the process; the per-file cores report the misconfig as a status code.
+  if (est < 1024) est = 1024;
 
   auto worker = [&]() {
     std::vector<int32_t> refid(est);

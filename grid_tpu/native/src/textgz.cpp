@@ -41,7 +41,10 @@ inline void append_fixed(std::string& out, double v, int dec, char* buf) {
   double scaled = av * mult;
   long long k = llrint(scaled);
   double d = scaled - (double)k;
-  if (av >= 9e15 || d > 0.4999999 || d < -0.4999999) {
+  // 1e12: far below where ulp(av*mult) approaches the 1e-7 guard band
+  // (printf divergence is reachable from ~1.7e13 for %.3f) and far above
+  // any value this pipeline formats — huge values take the printf path.
+  if (av >= 1e12 || d > 0.4999999 || d < -0.4999999) {
     int m = snprintf(buf, 80, "%.*f", dec, v);
     out.append(buf, (size_t)(m > 0 ? m : 0));
     return;
@@ -136,13 +139,17 @@ int grid_write_normalized(const char* path, const char* ids, int64_t n,
   if (!w.open(path)) return -1;
   char buf[96];
 
+  // The Python writer's prefix f-strings end in '\t' and the values are
+  // '\t'.joined after it — so the separator goes BEFORE each value except
+  // the first, and an r=0 line still carries the trailing prefix tab.
   auto header = [&](const double* vals) {
     char* q = gridtpu::bed_u64toa((unsigned long long)n, buf);
     *q++ = '\t';
     q = gridtpu::bed_u64toa((unsigned long long)r, q);
+    *q++ = '\t';
     w.chunk.append(buf, (size_t)(q - buf));
     for (int64_t j = 0; j < r; ++j) {
-      w.chunk.push_back('\t');
+      if (j) w.chunk.push_back('\t');
       if (std::isnan(vals[j])) {
         w.chunk.append("NA", 2);
       } else {
@@ -159,10 +166,11 @@ int grid_write_normalized(const char* path, const char* ids, int64_t n,
     w.chunk.append(idp[i], idlen[i]);
     w.chunk.push_back('\t');
     append_fixed(w.chunk, scales[i], 2, buf);
+    w.chunk.push_back('\t');
     const double* zr = z + i * r;
     const uint8_t* mr = mask + i * r;
     for (int64_t j = 0; j < r; ++j) {
-      w.chunk.push_back('\t');
+      if (j) w.chunk.push_back('\t');
       if (mr[j]) {
         append_fixed(w.chunk, zr[j], 2, buf);
       } else {

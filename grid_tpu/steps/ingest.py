@@ -304,9 +304,10 @@ def run_fused_ingest(config, console=None, collect_staged=True):
                 "using the per-sample loop", style="warning")
             return False
 
+        failed_items = []
         for i, (sample, path) in enumerate(items):
             if int(status[i]) != 0:
-                emit(sample, *process_fallback(sample, path))
+                failed_items.append((sample, path))
                 continue
             wcounts = (
                 [int(c) if c >= 0 else "Error" for c in wc[i]]
@@ -319,6 +320,16 @@ def run_fused_ingest(config, console=None, collect_staged=True):
                     _ingest_backend(path), path, s_, e_, d_, r_)
                 arrays = (s_, e_, d_)
             emit(sample, int(counts[i]), int(covs[i]), arrays, wcounts)
+        if failed_items:
+            # re-run failures through the per-sample fallback chain with the
+            # same thread fan-out the non-batched loop uses
+            with ThreadPoolExecutor(max_workers=max(1, threads)) as ex:
+                futures = {
+                    ex.submit(process_fallback, sample, path): sample
+                    for sample, path in failed_items
+                }
+                for fut in as_completed(futures):
+                    emit(futures[fut], *fut.result())
         return True
 
     if not run_batched():

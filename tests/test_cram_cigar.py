@@ -236,3 +236,24 @@ def test_cigar_read_length_mismatch_rejected(tmp_path):
                       cigar=[("M", 4)])  # 4 != rl 10
     with pytest.raises(ValueError, match="CIGAR read length"):
         cl.write_cram(tmp_path / "bad.cram", [("chr1", 1000)], [r])
+
+
+def test_noseq_rl_zero_healed_from_cigar(tmp_path):
+    """seq=None with rl=0 and a non-trivial CIGAR: the CIGAR is the only
+    read-length carrier, so the writer heals rl instead of truncating the
+    S/I placeholder payloads; a genuinely inconsistent rl raises."""
+    r = cl.CramRecord(name="heal", flag=0, ref_id=0, pos=10, mapq=1, rl=0,
+                      seq=None, qual=None,
+                      cigar=[("S", 5), ("M", 95)])
+    p = tmp_path / "heal.cram"
+    cl.write_cram(p, [("chr1", 100000)], [r])
+    with cl.CramReader(p) as rd:
+        back = list(rd.iter_records())
+    assert back[0].cigar == [("S", 5), ("M", 95)]
+    assert back[0].seq is None
+
+    bad = cl.CramRecord(name="bad", flag=0, ref_id=0, pos=10, mapq=1, rl=7,
+                        seq=None, qual=None,
+                        cigar=[("S", 5), ("M", 95)])  # 100 != rl 7
+    with pytest.raises(ValueError, match="CIGAR read length"):
+        cl.write_cram(tmp_path / "bad.cram", [("chr1", 100000)], [bad])

@@ -316,3 +316,98 @@ def test_native_fixed_format_fuzz(tmp_path, monkeypatch):
     monkeypatch.setenv("GRID_TPU_NATIVE_WRITERS", "0")
     write_normalized_output(p_py, ["S0"], [1.0], z, mask, means, cvars, sel)
     assert _gz.open(p_nat, "rb").read() == _gz.open(p_py, "rb").read()
+
+
+def test_native_normalized_writer_empty_selection(tmp_path, monkeypatch):
+    """r_want=0: the Python writer keeps the trailing prefix tab on every
+    line; the native writer must match byte-for-byte."""
+    import gzip as _gz
+    import shutil
+
+    import numpy as np
+    import pytest as _pt
+
+    if shutil.which("g++") is None:
+        _pt.skip("no C++ toolchain")
+    try:
+        from grid_tpu import native
+
+        native.lib()
+    except Exception as e:  # pragma: no cover
+        _pt.skip(f"native build failed: {e}")
+
+    from grid_tpu.io.formats import write_normalized_output
+
+    z = np.zeros((3, 5))
+    mask = np.ones((3, 5), bool)
+    p_nat = tmp_path / "e_nat.gz"
+    p_py = tmp_path / "e_py.gz"
+    args = (["A", "B", "C"], [1.0, 2.0, 3.0], z, mask,
+            np.ones(5), np.ones(5), np.empty(0, dtype=int))
+    write_normalized_output(p_nat, *args)
+    monkeypatch.setenv("GRID_TPU_NATIVE_WRITERS", "0")
+    write_normalized_output(p_py, *args)
+    a = _gz.open(p_nat, "rb").read()
+    assert a == _gz.open(p_py, "rb").read()
+    assert a.splitlines()[0] == b"3\t0\t"  # trailing tab preserved
+
+
+def test_gz_level_override_honored(tmp_path, monkeypatch):
+    """GRID_TPU_GZ_LEVEL routes around the fixed-level native writer and
+    changes the Python writer's compression level at call time."""
+    import gzip as _gz
+
+    import numpy as np
+
+    from grid_tpu.io.formats import write_neighbors_dense
+
+    rng = np.random.default_rng(2)
+    n, k = 200, 50
+    ids = [f"S{i:04d}" for i in range(n)]
+    scales = rng.uniform(1, 40, n)
+    idx = rng.integers(0, n, (n, k)).astype(np.int64)
+    dists = rng.uniform(0, 3, (n, k))
+
+    p1 = tmp_path / "l1.tsv.gz"
+    p9 = tmp_path / "l9.tsv.gz"
+    write_neighbors_dense(p1, ids, scales, idx, dists)
+    monkeypatch.setenv("GRID_TPU_GZ_LEVEL", "9")
+    write_neighbors_dense(p9, ids, scales, idx, dists)
+    assert _gz.open(p1, "rb").read() == _gz.open(p9, "rb").read()
+    assert p9.stat().st_size < p1.stat().st_size  # level 9 actually applied
+
+
+def test_batch_ingest_reversed_window_survives(tmp_path):
+    """start > end must produce per-file statuses (or empty results), not
+    a std::terminate from a negative buffer estimate."""
+    import shutil
+
+    import numpy as np
+    import pytest as _pt
+
+    if shutil.which("g++") is None:
+        _pt.skip("no C++ toolchain")
+    try:
+        from grid_tpu import native
+
+        native.lib()
+    except Exception as e:  # pragma: no cover
+        _pt.skip(f"native build failed: {e}")
+
+    from grid_tpu.native._ingest import ingest_batch
+    from grid_tpu.synth import make_synthetic_cohort_with_alignments
+
+    cohort = make_synthetic_cohort_with_alignments(
+        tmp_path, n_samples=2, seed=3, file_type="bam"
+    )
+    cfg = cohort["config"]
+    from pathlib import Path
+
+    paths = sorted(Path(cfg["directory_loc"]).glob("*.bam"))
+    entries = [(str(p), "") for p in paths]
+    # reversed window: end << start
+    status, counts, covs, bins, _ = ingest_batch(
+        entries, cfg["chrom"], cfg["end_bp"], cfg["start_bp"] - 10_000_000,
+        cfg["count_reads"]["flags"], threads=2, collect_bins=False,
+    )
+    assert len(status) == 2  # process survived; outcomes are per-file
