@@ -55,7 +55,13 @@ def _dedupe_last_wins(starts, ends, depths):
     always already non-decreasing in (start, end) — that case is a single
     O(n) boundary scan. The general case uses a STABLE argsort of the
     packed uint64 keys (np.unique(axis=0)'s void-dtype argsort measured
-    ~0.4 s per 3M-row sample; this path is ~20x cheaper)."""
+    ~0.4 s per 3M-row sample; this path is ~20x cheaper).
+
+    Output order: already-sorted input keeps its file order; UNSORTED
+    input comes back (start, end)-key-sorted, not in original file order
+    of the kept occurrences. All current consumers (population means,
+    region search, matrix fill) are order-insensitive, but don't assume
+    file order downstream."""
     if len(starts) == 0:
         return starts, ends, depths
     keys = _composite(starts, ends)
@@ -117,21 +123,79 @@ def population_mean_depths(per_sample):
     """Population mean depth per region over samples carrying it
     (ref: grid/utils/normalize_mosdepth.py:289-301).
 
-    Returns (regions [M, 2] sorted, means [M]). Runs on packed uint64
-    keys: 1-D np.unique + np.bincount instead of np.unique(axis=0) +
-    np.add.at — the latter pair measured 52 s of a 65 s staging call at
-    10 x 3M rows (void-dtype argsort + unbuffered scatter-add).
+    Returns (regions [M, 2] sorted, means [M]). Incremental union over
+    packed uint64 keys, one sample at a time, instead of concatenating
+    every sample's keys and running one global ``np.unique`` — at 100 x
+    3M rows the global form sorts ~300M keys (~110 s); here the first
+    sample seeds the sorted universe and each later sample either
+
+    - matches it exactly (one O(n) compare + two vector adds — the
+      regular-mosdepth-grid common case, ~15 ms/sample), or
+    - splits into hits (accumulated via ``np.bincount`` on searchsorted
+      positions) and misses (buffered, merged into the universe in bulk
+      when the buffer grows past half the universe).
+
+    Semantics are identical to the global-unique form, including
+    duplicate keys within one sample each contributing a count (upstream
+    ``_dedupe_last_wins`` means that case never arises in practice).
     """
-    all_keys = [
-        _composite(s, e) for (s, e, _) in per_sample.values() if len(s)
-    ]
-    if not all_keys:
+    uniq_keys = sums = counts = None
+    pend_k: list = []
+    pend_d: list = []
+    pending = 0
+
+    def _flush():
+        nonlocal uniq_keys, sums, counts, pend_k, pend_d, pending
+        if not pend_k:
+            return
+        pk = np.concatenate(pend_k)
+        pd = np.concatenate(pend_d)
+        upk, inv = np.unique(pk, return_inverse=True)
+        psums = np.bincount(inv, weights=pd, minlength=len(upk))
+        pcounts = np.bincount(inv, minlength=len(upk))
+        # pending keys are disjoint from uniq_keys (a key enters pending
+        # only by missing the universe, which is frozen between flushes)
+        merged = np.concatenate([uniq_keys, upk])
+        order = np.argsort(merged, kind="stable")
+        merged = merged[order]
+        new_sums = np.concatenate([sums, psums])[order]
+        new_counts = np.concatenate([counts, pcounts])[order]
+        uniq_keys, sums, counts = merged, new_sums, new_counts
+        pend_k, pend_d = [], []
+        pending = 0
+
+    for (s, e, d) in per_sample.values():
+        if len(s) == 0:
+            continue
+        keys = _composite(s, e)
+        d = np.asarray(d, np.float64)
+        if uniq_keys is None:
+            upk, inv = np.unique(keys, return_inverse=True)
+            uniq_keys = upk
+            sums = np.bincount(inv, weights=d, minlength=len(upk))
+            counts = np.bincount(inv, minlength=len(upk))
+            continue
+        if len(keys) == len(uniq_keys) and np.array_equal(keys, uniq_keys):
+            sums += d
+            counts += 1
+            continue
+        pos = np.searchsorted(uniq_keys, keys)
+        pc = pos.clip(max=len(uniq_keys) - 1)
+        hit = (pos < len(uniq_keys)) & (uniq_keys[pc] == keys)
+        if hit.any():
+            sums += np.bincount(pc[hit], weights=d[hit], minlength=len(uniq_keys))
+            counts += np.bincount(pc[hit], minlength=len(uniq_keys))
+        miss = ~hit
+        if miss.any():
+            pend_k.append(keys[miss])
+            pend_d.append(d[miss])
+            pending += int(miss.sum())
+            if pending >= max(len(uniq_keys) // 2, 4096):
+                _flush()
+    _flush()
+
+    if uniq_keys is None:
         return np.empty((0, 2), np.int64), np.empty(0, np.float64)
-    keys = np.concatenate(all_keys)
-    depths = np.concatenate([d for (_, _, d) in per_sample.values() if len(d)])
-    uniq_keys, inv = np.unique(keys, return_inverse=True)
-    sums = np.bincount(inv, weights=depths, minlength=len(uniq_keys))
-    counts = np.bincount(inv, minlength=len(uniq_keys))
     uniq = np.stack(
         [(uniq_keys >> np.uint64(32)).astype(np.int64),
          (uniq_keys & np.uint64(0xFFFFFFFF)).astype(np.int64)], axis=1
@@ -201,12 +265,28 @@ def stage_cohort(
     keep = (pop_means >= min_depth) & (pop_means <= max_depth)
     valid_regions = uniq_regions[keep]
 
-    # per-sample projection onto the valid-region universe
+    # per-sample projection onto the valid-region universe; the packed
+    # region keys are hoisted out of the loop (repacking 3M regions per
+    # sample measured ~12 s of a 47 s staging call at 20 x 3M rows) and a
+    # sample whose keys EQUAL the universe maps by identity — the regular
+    # mosdepth-grid common case
+    reg_keys = _composite(valid_regions[:, 0], valid_regions[:, 1])
+    identity_idx = None
     projected: dict[str, tuple[np.ndarray, np.ndarray]] = {}
     for sid, (s, e, d) in per_sample.items():
-        idx = _region_search(valid_regions, s, e)
-        hit = idx >= 0
-        projected[sid] = (idx[hit], d[hit])
+        keys = _composite(s, e)
+        if len(keys) == len(reg_keys) and np.array_equal(keys, reg_keys):
+            if identity_idx is None:
+                identity_idx = np.arange(len(reg_keys), dtype=np.int64)
+            projected[sid] = (identity_idx, d)
+            continue
+        pos = np.searchsorted(reg_keys, keys)
+        pc = pos.clip(max=max(len(reg_keys) - 1, 0))
+        hit = (
+            (pos < len(reg_keys)) & (reg_keys[pc] == keys)
+            if len(reg_keys) else np.zeros(len(keys), bool)
+        )
+        projected[sid] = (pc[hit].astype(np.int64), d[hit])
 
     n_before = len(projected)
     projected = {sid: v for sid, v in projected.items() if len(v[0])}
@@ -221,19 +301,31 @@ def stage_cohort(
     # column universe: regions carried by >=1 surviving sample
     col_used = np.zeros(len(valid_regions), dtype=bool)
     for idx, _ in projected.values():
+        if len(idx) == len(col_used):  # keys unique per sample => full cover
+            col_used[:] = True
+            break
         col_used[idx] = True
     col_map = np.full(len(valid_regions), -1, dtype=np.int64)
     col_map[col_used] = np.arange(col_used.sum())
     regions = valid_regions[col_used]
 
     n, r = len(sample_ids), int(col_used.sum())
-    values = np.zeros((n, r), dtype=np.float64)
-    mask = np.zeros((n, r), dtype=bool)
+    # np.empty, not zeros: fully-covered rows (the regular-grid common
+    # case) are written whole, so zero-init would double the memory
+    # traffic on a multi-GB matrix; partial rows zero themselves first
+    values = np.empty((n, r), dtype=np.float64)
+    mask = np.empty((n, r), dtype=bool)
     for i, sid in enumerate(sample_ids):
         idx, d = projected[sid]
         cols = col_map[idx]
-        values[i, cols] = d
-        mask[i, cols] = True
+        if len(cols) == r:  # sorted unique full cover == arange: memcpy row
+            values[i] = d
+            mask[i] = True
+        else:
+            values[i] = 0.0
+            mask[i] = False
+            values[i, cols] = d
+            mask[i, cols] = True
 
     return CohortStage(sample_ids=sample_ids, regions=regions, values=values, mask=mask)
 

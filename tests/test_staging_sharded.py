@@ -253,3 +253,54 @@ def test_population_mean_depths_matches_dict_oracle():
     assert len(regions) == len(oracle_sum)
     for (st, en), m in zip(map(tuple, regions), means):
         assert abs(m - oracle_sum[(st, en)] / oracle_cnt[(st, en)]) < 1e-12
+
+
+def test_population_mean_depths_incremental_flush_and_fastpath():
+    """The incremental-union rewrite must match the global-unique oracle
+    through BOTH special paths: the identical-universe fast path (regular
+    grids) and a mid-loop pending flush (>4096 misses from disjoint
+    universes)."""
+    import numpy as np
+
+    from grid_tpu.io.staging import population_mean_depths
+
+    rng = np.random.default_rng(11)
+
+    # (a) identical universes: 4 samples on the same 1kb grid
+    grid = np.arange(500, dtype=np.int64) * 1000
+    per_sample = {
+        f"G{i}": (grid, grid + 1000, rng.uniform(1, 40, 500)) for i in range(4)
+    }
+    regions, means = population_mean_depths(per_sample)
+    expect = np.mean(
+        np.stack([per_sample[f"G{i}"][2] for i in range(4)]), axis=0
+    )
+    np.testing.assert_array_equal(regions[:, 0], grid)
+    np.testing.assert_allclose(means, expect, rtol=0, atol=1e-12)
+
+    # (b) three DISJOINT 6000-region universes: sample 2's and 3's keys all
+    # miss, forcing a flush mid-loop (pending 6000 >= max(len//2, 4096))
+    per_sample = {}
+    oracle = {}
+    for i in range(3):
+        starts = (np.arange(6000, dtype=np.int64) * 3 + i) * 100
+        depths = rng.uniform(1, 40, 6000)
+        per_sample[f"D{i}"] = (starts, starts + 100, depths)
+        for st, de in zip(starts, depths):
+            oracle[(st, st + 100)] = de
+    regions, means = population_mean_depths(per_sample)
+    assert len(regions) == 18000
+    for (st, en), m in zip(map(tuple, regions), means):
+        assert abs(m - oracle[(st, en)]) < 1e-12
+
+    # (c) partial overlap: hits accumulate via bincount, misses merge
+    a = np.arange(100, dtype=np.int64) * 100
+    b = np.arange(50, 150, dtype=np.int64) * 100
+    da, db = rng.uniform(1, 9, 100), rng.uniform(1, 9, 100)
+    regions, means = population_mean_depths(
+        {"A": (a, a + 100, da), "B": (b, b + 100, db)}
+    )
+    assert len(regions) == 150
+    np.testing.assert_allclose(means[:50], da[:50], atol=1e-12)
+    np.testing.assert_allclose(means[50:100], (da[50:] + db[:50]) / 2, atol=1e-12)
+    np.testing.assert_allclose(means[100:], db[50:], atol=1e-12)
