@@ -402,8 +402,11 @@ inline bool write_bins_bed(
     bool skip_zero) {
   BedWriter w;
   if (!w.open(out_path)) return false;
+  // knob semantics match GRID_TPU_BATCH_INGEST: "0"/empty leaves the
+  // cache ON; any other value disables it
+  const char* nocache = getenv("GRID_TPU_BED_NOCACHE");
   const bool bgzf = BedWriter::use_bgzf() &&
-                    !(getenv("GRID_TPU_BED_NOCACHE") != nullptr);
+                    !(nocache && nocache[0] && strcmp(nocache, "0") != 0);
   for (size_t i = 0; i < refs.size(); ++i) {
     const std::string& name = refs[i].first;
     const int64_t len = refs[i].second;

@@ -67,6 +67,20 @@ def fused_ingest_enabled(config) -> bool:
     return True
 
 
+def _available_ram_bytes():
+    """MemAvailable from /proc/meminfo (None where unreadable — non-Linux);
+    used to refuse batch-ingest staging allocations that would risk an
+    overcommit OOM-kill instead of a catchable MemoryError."""
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemAvailable:"):
+                    return int(line.split()[1]) * 1024
+    except OSError:
+        pass
+    return None
+
+
 def _ingest_backend(path):
     if str(path).endswith(".cram"):
         from grid_tpu.native import cram as backend
@@ -265,12 +279,28 @@ def run_fused_ingest(config, console=None, collect_staged=True):
             return False
         try:
             from grid_tpu import native
-            from grid_tpu.native._ingest import ingest_batch
+            from grid_tpu.native._ingest import _window_cap, ingest_batch
 
             if not hasattr(native.lib(), "grid_ingest_batch"):
                 return False
         except Exception:
             return False
+
+        if collect_staged:
+            # the batch call stages all four bin buffers upfront at
+            # n * cap_per slots (28 B each) — over a whole-chromosome
+            # window that is cohort_size x window_bins, where the threaded
+            # loop peaks at threads x cap.  A MemoryError would fall back
+            # anyway, but Linux overcommit can OOM-kill mid-memcpy
+            # instead, so refuse upfront past half of available RAM.
+            need = len(files) * _window_cap(start, end, by) * 28
+            avail = _available_ram_bytes()
+            if avail is not None and need > avail // 2:
+                log(console,
+                    f"batched ingest would stage {need / 1e9:.1f} GB "
+                    f"(> half of the {avail / 1e9:.1f} GB available); "
+                    "using the per-sample loop", style="warning")
+                return False
 
         items = list(files.items())
         entries = [

@@ -306,3 +306,27 @@ def test_fused_ingest_threaded_loop_parity(tmp_path, monkeypatch):
     assert seq["cov"] == fus["cov"]
     assert seq["norm"] == fus["norm"]
     assert seq["dip"] == fus["dip"]
+
+
+def test_batch_ingest_ram_guard_falls_back(tmp_path, monkeypatch, capsys):
+    """When the upfront n*cap_per staging allocation would exceed half of
+    available RAM, run_batched refuses (avoiding an overcommit OOM-kill)
+    and the per-sample loop produces identical artifacts."""
+    _native_or_skip()
+    import grid_tpu.steps.ingest as ingest_mod
+
+    monkeypatch.setattr(ingest_mod, "_available_ram_bytes", lambda: 1)
+    outs = _run_both_modes(tmp_path, "bam", n_samples=4, seed=31)
+    assert "using the per-sample loop" in capsys.readouterr().out
+    seq, fus = outs["sequential"], outs["fused"]
+    assert seq["counts"] == fus["counts"]
+    assert seq["cov"] == fus["cov"]
+    assert seq["norm"] == fus["norm"]
+    assert seq["dip"] == fus["dip"]
+
+
+def test_available_ram_bytes_readable():
+    from grid_tpu.steps.ingest import _available_ram_bytes
+
+    avail = _available_ram_bytes()
+    assert avail is None or avail > 0
