@@ -282,6 +282,29 @@ def ibs(vcf, bgen, sample_file, chrom, focal_bp, genetic_map, num_neighbors,
     )
 
 
+@cli.command(name="extract-reference")
+@click.option("-r", "--reference-fa", required=True, type=click.Path(exists=True),
+              help="Reference genome FASTA (e.g. hs37d5.fa; .fai used if present)")
+@click.option("-b", "--bed-file", required=True, type=click.Path(exists=True),
+              help="BED of regions to extract (4th column names the records)")
+@click.option("-o", "--output-dir", required=True, type=click.Path())
+@click.option("-f", "--output-prefix", default="ref_lpa", show_default=True)
+def extract_reference_cmd(reference_fa, bed_file, output_dir, output_prefix):
+    """Cut BED regions out of a reference genome into a small FASTA — the
+    exon-reference prep for ``realign``/``wes`` (a BED whose names are
+    1A/1B_KIV2/1B_KIV3 yields a realign-ready exon FASTA). Resurrects the
+    reference's commented-out command (grid/cli.py:475-488)."""
+    from grid_tpu.io.fasta import extract_reference
+
+    console = _console()
+    try:
+        extract_reference(reference_fa, bed_file, output_dir, output_prefix,
+                          console=console)
+    except Exception as e:
+        log(console, f"✗ Reference extraction failed: {e}", style="danger")
+        sys.exit(1)
+
+
 @cli.command()
 @click.option("-C", "--aln-dir", required=True, type=click.Path(exists=True))
 @click.option("--exon-fasta", required=True, type=click.Path(exists=True),
