@@ -10,6 +10,7 @@ retry behavior cannot drift.
 from __future__ import annotations
 
 import ctypes as _ct
+import os
 
 import numpy as np
 
@@ -129,13 +130,15 @@ _BATCH_ARGTYPES = [
     _ct.c_char_p, _I64P, _I64P, _ct.c_int32,
     _I64P, _I64P, _I64P, _I32P,
     _I32P, _I64P, _I64P, _F64P, _ct.c_int64, _I64P, _I64P,
+    _F64P, _I32P,  # per-thread busy seconds + thread count actually used
 ]
 
 
 def ingest_batch(entries, chrom, start, end, flags, count_min_mapq=1,
                  bin_size=1000, exclude_flags=1796, bin_min_mapq=0,
                  skip_zero=False, stage_chrom_prefix=None, windows=None,
-                 threads=0, collect_bins=True, progress=None):
+                 threads=0, collect_bins=True, progress=None,
+                 thread_stats=None):
     """Whole-cohort fused ingest in ONE native call (grid_ingest_batch,
     src/batch.cpp): worker threads below the GIL pull files off an atomic
     cursor and run the single-file ingest cores, so the ~8 ms/sample of
@@ -150,6 +153,12 @@ def ingest_batch(entries, chrom, start, end, flags, count_min_mapq=1,
     ``[n, n_windows]`` int64 array (or None without windows). ``progress``:
     optional int64[1] ndarray the native side increments once per finished
     file — poll it from another thread for a live bar.
+
+    ``thread_stats``: optional dict, filled on return with
+    ``{"busy_s": [per-thread seconds inside the decode cores],
+    "n_threads": used}`` — the GIL-free-scaling instrumentation
+    (sum(busy)/wall ~ thread count unless the host's cores are the
+    ceiling).
     """
     from grid_tpu.native import lib
 
@@ -202,6 +211,9 @@ def ingest_batch(entries, chrom, start, end, flags, count_min_mapq=1,
     else:
         bptrs = (None, None, None, None)
 
+    max_threads = int(threads) if int(threads) > 0 else (os.cpu_count() or 1)
+    busy = np.zeros(max(max_threads, 1), np.float64)
+    nt_used = np.zeros(1, np.int32)
     rc = cfn(
         paths_buf, beds_buf, is_cram.ctypes.data_as(_I32P), n, int(threads),
         int(bin_size), int(exclude_flags), int(bin_min_mapq),
@@ -212,9 +224,14 @@ def ingest_batch(entries, chrom, start, end, flags, count_min_mapq=1,
         status.ctypes.data_as(_I32P), *bptrs, cap_per,
         nbins.ctypes.data_as(_I64P),
         progress.ctypes.data_as(_I64P) if progress is not None else None,
+        busy.ctypes.data_as(_F64P), nt_used.ctypes.data_as(_I32P),
     )
     if rc != 0:
         raise IOError(f"grid_ingest_batch failed with code {rc}")
+    if thread_stats is not None:
+        used = int(nt_used[0])
+        thread_stats["busy_s"] = busy[:used].tolist()
+        thread_stats["n_threads"] = used
 
     bins = []
     for i in range(n):

@@ -18,6 +18,7 @@
 // per-sample failure semantics of steps/ingest.py.
 
 #include <atomic>
+#include <chrono>
 #include <cstdint>
 #include <cstring>
 #include <string>
@@ -60,6 +61,11 @@ int grid_cram_ingest_multi(const char* path, const char* out_bed,
 // the bounded-memory streaming-stager mode).  progress, when non-null, is
 // atomically incremented once per finished file (any status) so the caller
 // can poll a live progress bar without a callback trampoline.
+// thread_busy_s, when non-null, receives per-worker seconds spent INSIDE
+// the decode cores (length >= the thread count actually used, itself
+// written to *n_threads_used) — the GIL-free-scaling evidence: on a
+// wide host sum(busy)/wall approaches the thread count; when the host's
+// physical cores are the ceiling, busy flattens while wall doesn't.
 // Returns 0 (per-file outcomes are in status[]), or -1 on bad arguments.
 int grid_ingest_batch(const char* paths, const char* beds,
                       const int32_t* is_cram, int32_t n_files,
@@ -74,7 +80,8 @@ int grid_ingest_batch(const char* paths, const char* beds,
                       int64_t* win_counts, int32_t* status,
                       int32_t* bins_refid, int64_t* bins_start,
                       int64_t* bins_end, double* bins_depth, int64_t cap_per,
-                      int64_t* out_nbins, int64_t* progress) {
+                      int64_t* out_nbins, int64_t* progress,
+                      double* thread_busy_s, int32_t* n_threads_used) {
   if (n_files <= 0 || !paths || !beds || !is_cram || !status) return -1;
 
   std::vector<const char*> path_v(n_files), bed_v(n_files);
@@ -108,16 +115,18 @@ int grid_ingest_batch(const char* paths, const char* beds,
   // the process; the per-file cores report the misconfig as a status code.
   if (est < 1024) est = 1024;
 
-  auto worker = [&]() {
+  auto worker = [&](int32_t tid) {
     std::vector<int32_t> refid(est);
     std::vector<int64_t> bstart(est), bend(est);
     std::vector<double> bdepth(est);
+    double busy = 0.0;
     for (;;) {
       int32_t i = cursor.fetch_add(1);
       if (i >= n_files) break;
       auto fn = is_cram[i] ? grid_cram_ingest_multi : grid_bam_ingest_multi;
       int64_t count = 0, cov100 = 0, nbins = 0;
       int rc;
+      auto t0 = std::chrono::steady_clock::now();
       for (int attempt = 0; attempt < 3; ++attempt) {
         rc = fn(path_v[i], bed_v[i], bin_size, exclude_flags, bin_min_mapq,
                 skip_zero, chrom, wstart, wend, flags, n_flags,
@@ -133,6 +142,9 @@ int grid_ingest_batch(const char* paths, const char* beds,
         bend.resize(need);
         bdepth.resize(need);
       }
+      busy += std::chrono::duration<double>(std::chrono::steady_clock::now() -
+                                            t0)
+                  .count();
       status[i] = rc;
       if (rc == 0) {
         if (out_counts) out_counts[i] = count;
@@ -154,14 +166,16 @@ int grid_ingest_batch(const char* paths, const char* beds,
       }
       if (prog) prog->fetch_add(1);
     }
+    if (thread_busy_s) thread_busy_s[tid] = busy;
   };
 
+  if (n_threads_used) *n_threads_used = nt;
   if (nt == 1) {
-    worker();
+    worker(0);
   } else {
     std::vector<std::thread> ts;
     ts.reserve(nt);
-    for (int t = 0; t < nt; ++t) ts.emplace_back(worker);
+    for (int t = 0; t < nt; ++t) ts.emplace_back(worker, t);
     for (auto& t : ts) t.join();
   }
   return 0;

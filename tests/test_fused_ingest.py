@@ -245,12 +245,19 @@ def test_batch_ingest_matches_per_sample(tmp_path):
     entries = [(str(p), str(tmp_path / f"b{i}.bed.gz"))
                for i, p in enumerate(paths)]
     progress = np.zeros(1, np.int64)
+    tstats = {}
     status, counts, covs, bins, wc = ingest_batch(
         entries, chrom, start, end, flags, threads=3, windows=windows,
-        progress=progress,
+        progress=progress, thread_stats=tstats,
     )
     assert list(status) == [0] * len(paths)
     assert int(progress[0]) == len(paths)
+    # per-thread busy instrumentation: one slot per worker actually used,
+    # every file's decode time accounted somewhere
+    assert tstats["n_threads"] == 3
+    assert len(tstats["busy_s"]) == 3
+    assert all(b >= 0 for b in tstats["busy_s"])
+    assert sum(tstats["busy_s"]) > 0
 
     for i, p in enumerate(paths):
         out = bam_backend.ingest(
