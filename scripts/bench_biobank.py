@@ -149,7 +149,31 @@ def run_tpu_single(args):
     t0 = time.perf_counter()
     d, i = knn_squared(z, args.k, row_block=512)
     _sync(d)
-    report["knn_s"] = round(time.perf_counter() - t0, 2)
+    report["knn_cold_s"] = round(time.perf_counter() - t0, 2)
+
+    # BENCH-protocol steady state: enqueue `iters` dispatches, one scalar
+    # sync, min over rounds — same methodology as bench.py (the cold number
+    # above includes compile and is kept for capacity context)
+    iters = max(1, args.iters)
+    best = float("inf")
+    for _ in range(args.rounds):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            d, i = knn_squared(z, args.k, row_block=512)
+        _sync(jnp.sum(d[0, :8]))
+        best = min(best, (time.perf_counter() - t0) / iters)
+    report["knn_s"] = round(best, 3)
+    # roofline (one v5e chip: 197 TFLOP/s bf16/f32 MXU peak, 819 GB/s HBM).
+    # Traffic model for the blocked two-stage selection: the [R, N] z.T
+    # panel streams once per row block (Gram), the [B, N] d2 panel is
+    # written once and read once by selection, outputs are [N, k] x2.
+    n_, r_, k_ = args.n, args.r, args.k
+    n_blocks = -(-n_ // 512)
+    model_flops = 2.0 * n_ * n_ * r_
+    model_bytes = (n_blocks * n_ * r_ * 4.0) + 2.0 * n_ * n_ * 4.0 + n_ * k_ * 8.0
+    report["knn_mfu"] = round(model_flops / best / 197e12, 4)
+    report["knn_hbm_util"] = round(model_bytes / best / 819e9, 4)
+    report["knn_samples_per_s"] = round(n_ / best, 1)
 
     # step-6 beyond the d2 budget: the r3 gather-free row-panel form vs the
     # [N, k] gather formulation it replaces (same process, same data)
@@ -184,6 +208,8 @@ def main():
     ap.add_argument("--devices", type=int, default=None)
     ap.add_argument("--rounds", type=int, default=1,
                     help="interleaved timing rounds; min reported")
+    ap.add_argument("--iters", type=int, default=3,
+                    help="--tpu mode: dispatches enqueued per timing round")
     ap.add_argument("--compare", action="store_true",
                     help="time the payload ring AND the r2 replicated-"
                          "gather form, interleaved")
