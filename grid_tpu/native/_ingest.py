@@ -130,7 +130,7 @@ _BATCH_ARGTYPES = [
     _ct.c_char_p, _I64P, _I64P, _ct.c_int32,
     _I64P, _I64P, _I64P, _I32P,
     _I32P, _I64P, _I64P, _F64P, _ct.c_int64, _I64P, _I64P,
-    _F64P, _I32P,  # per-thread busy seconds + thread count actually used
+    _F64P, _F64P, _I32P,  # per-thread busy/cpu seconds + threads used
 ]
 
 
@@ -155,10 +155,11 @@ def ingest_batch(entries, chrom, start, end, flags, count_min_mapq=1,
     file — poll it from another thread for a live bar.
 
     ``thread_stats``: optional dict, filled on return with
-    ``{"busy_s": [per-thread seconds inside the decode cores],
-    "n_threads": used}`` — the GIL-free-scaling instrumentation
-    (sum(busy)/wall ~ thread count unless the host's cores are the
-    ceiling).
+    ``{"busy_s": [...], "cpu_s": [...], "n_threads": used}`` — per-worker
+    wall seconds inside the decode cores and thread CPU seconds
+    (CLOCK_THREAD_CPUTIME_ID). sum(cpu_s)/wall is the physical
+    parallelism achieved (capped by the host's cores); busy >> cpu means
+    timeslicing/IO, not dispatch serialization.
     """
     from grid_tpu.native import lib
 
@@ -213,6 +214,7 @@ def ingest_batch(entries, chrom, start, end, flags, count_min_mapq=1,
 
     max_threads = int(threads) if int(threads) > 0 else (os.cpu_count() or 1)
     busy = np.zeros(max(max_threads, 1), np.float64)
+    cpu = np.zeros(max(max_threads, 1), np.float64)
     nt_used = np.zeros(1, np.int32)
     rc = cfn(
         paths_buf, beds_buf, is_cram.ctypes.data_as(_I32P), n, int(threads),
@@ -224,13 +226,15 @@ def ingest_batch(entries, chrom, start, end, flags, count_min_mapq=1,
         status.ctypes.data_as(_I32P), *bptrs, cap_per,
         nbins.ctypes.data_as(_I64P),
         progress.ctypes.data_as(_I64P) if progress is not None else None,
-        busy.ctypes.data_as(_F64P), nt_used.ctypes.data_as(_I32P),
+        busy.ctypes.data_as(_F64P), cpu.ctypes.data_as(_F64P),
+        nt_used.ctypes.data_as(_I32P),
     )
     if rc != 0:
         raise IOError(f"grid_ingest_batch failed with code {rc}")
     if thread_stats is not None:
         used = int(nt_used[0])
         thread_stats["busy_s"] = busy[:used].tolist()
+        thread_stats["cpu_s"] = cpu[:used].tolist()
         thread_stats["n_threads"] = used
 
     bins = []

@@ -19,6 +19,7 @@
 
 #include <atomic>
 #include <chrono>
+#include <ctime>
 #include <cstdint>
 #include <cstring>
 #include <string>
@@ -61,11 +62,13 @@ int grid_cram_ingest_multi(const char* path, const char* out_bed,
 // the bounded-memory streaming-stager mode).  progress, when non-null, is
 // atomically incremented once per finished file (any status) so the caller
 // can poll a live progress bar without a callback trampoline.
-// thread_busy_s, when non-null, receives per-worker seconds spent INSIDE
-// the decode cores (length >= the thread count actually used, itself
-// written to *n_threads_used) — the GIL-free-scaling evidence: on a
-// wide host sum(busy)/wall approaches the thread count; when the host's
-// physical cores are the ceiling, busy flattens while wall doesn't.
+// thread_busy_s / thread_cpu_s, when non-null, receive per-worker seconds
+// (length >= the thread count actually used, itself written to
+// *n_threads_used): busy = wall time spent INSIDE the decode cores, cpu =
+// CLOCK_THREAD_CPUTIME_ID over the worker's life.  Together they are the
+// GIL-free-scaling evidence: sum(cpu)/wall is the PHYSICAL parallelism
+// achieved (capped by the host's cores), while busy >> cpu means workers
+// sat timesliced or in IO, not serialized by dispatch.
 // Returns 0 (per-file outcomes are in status[]), or -1 on bad arguments.
 int grid_ingest_batch(const char* paths, const char* beds,
                       const int32_t* is_cram, int32_t n_files,
@@ -81,7 +84,8 @@ int grid_ingest_batch(const char* paths, const char* beds,
                       int32_t* bins_refid, int64_t* bins_start,
                       int64_t* bins_end, double* bins_depth, int64_t cap_per,
                       int64_t* out_nbins, int64_t* progress,
-                      double* thread_busy_s, int32_t* n_threads_used) {
+                      double* thread_busy_s, double* thread_cpu_s,
+                      int32_t* n_threads_used) {
   if (n_files <= 0 || !paths || !beds || !is_cram || !status) return -1;
 
   std::vector<const char*> path_v(n_files), bed_v(n_files);
@@ -115,7 +119,16 @@ int grid_ingest_batch(const char* paths, const char* beds,
   // the process; the per-file cores report the misconfig as a status code.
   if (est < 1024) est = 1024;
 
+  auto thread_cpu_now = []() {
+    struct timespec ts;
+    if (clock_gettime(CLOCK_THREAD_CPUTIME_ID, &ts) != 0) return -1.0;
+    return (double)ts.tv_sec + (double)ts.tv_nsec * 1e-9;
+  };
+
   auto worker = [&](int32_t tid) {
+    // delta, not absolute: with nt==1 the worker runs on the CALLING
+    // thread, whose CPU clock includes the process's prior work
+    double cpu0 = thread_cpu_now();
     std::vector<int32_t> refid(est);
     std::vector<int64_t> bstart(est), bend(est);
     std::vector<double> bdepth(est);
@@ -167,6 +180,10 @@ int grid_ingest_batch(const char* paths, const char* beds,
       if (prog) prog->fetch_add(1);
     }
     if (thread_busy_s) thread_busy_s[tid] = busy;
+    if (thread_cpu_s) {
+      double cpu1 = thread_cpu_now();
+      thread_cpu_s[tid] = (cpu0 >= 0 && cpu1 >= 0) ? cpu1 - cpu0 : -1.0;
+    }
   };
 
   if (n_threads_used) *n_threads_used = nt;

@@ -30,24 +30,36 @@ def main():
     ap.add_argument("--n", type=int, default=256)
     ap.add_argument("--rounds", type=int, default=3)
     ap.add_argument("--threads", type=int, nargs="+", default=[1, 2, 4])
+    ap.add_argument("--aln-dir", default=None,
+                    help="reuse an existing BAM directory (skip fabrication);"
+                         " requires --chrom/--start/--end")
+    ap.add_argument("--chrom", default="chr6")
+    ap.add_argument("--start", type=int, default=160_605_000)
+    ap.add_argument("--end", type=int, default=160_615_000)
     args = ap.parse_args()
 
     from grid_tpu.native._ingest import ingest_batch
     from grid_tpu.synth import make_synthetic_cohort_with_alignments
 
     out = Path(args.out)
-    t0 = time.perf_counter()
-    cohort = make_synthetic_cohort_with_alignments(
-        out, n_samples=args.n, seed=17, mean_depth=6.0, file_type="bam"
-    )
-    print(f"fabricated {args.n} BAMs in {time.perf_counter() - t0:.1f}s",
-          flush=True)
-
-    cfg = cohort["config"]
-    chrom = cfg["chrom"]
-    start, end = cfg["start_bp"], cfg["end_bp"]
-    flags = cfg["count_reads"]["flags"]
-    aln_dir = Path(cfg["directory_loc"])
+    out.mkdir(parents=True, exist_ok=True)
+    if args.aln_dir:
+        aln_dir = Path(args.aln_dir)
+        chrom, start, end = args.chrom, args.start, args.end
+        flags = [83, 147, 81, 145]
+        print(f"reusing BAMs in {aln_dir}", flush=True)
+    else:
+        t0 = time.perf_counter()
+        cohort = make_synthetic_cohort_with_alignments(
+            out, n_samples=args.n, seed=17, mean_depth=6.0, file_type="bam"
+        )
+        print(f"fabricated {args.n} BAMs in {time.perf_counter() - t0:.1f}s",
+              flush=True)
+        cfg = cohort["config"]
+        chrom = cfg["chrom"]
+        start, end = cfg["start_bp"], cfg["end_bp"]
+        flags = cfg["count_reads"]["flags"]
+        aln_dir = Path(cfg["directory_loc"])
     bams = sorted(aln_dir.glob("*.bam"))
     scratch = out / "scratch"
     scratch.mkdir(exist_ok=True)
@@ -88,7 +100,7 @@ def main():
         return wall, [r[0] for r in res]
 
     ncpu = os.cpu_count()
-    report = {"n": args.n, "rounds": args.rounds, "host_cpus": ncpu,
+    report = {"n": len(entries), "rounds": args.rounds, "host_cpus": ncpu,
               "per_thread": {}}
     ref_counts = None
     for t in args.threads:
@@ -103,16 +115,19 @@ def main():
             ref_counts = list(counts)
         assert list(counts) == ref_counts == list(loop_counts), "count drift"
         busy = best_stats.get("busy_s", [])
+        cpu = best_stats.get("cpu_s", [])
         report["per_thread"][t] = {
             "batch_s": round(best_b, 2),
             "loop_s": round(best_l, 2),
             "speedup": round(best_l / best_b, 2),
             "busy_s": [round(b, 2) for b in busy],
-            "effective_parallelism": round(sum(busy) / best_b, 2) if busy else None,
+            "cpu_s": [round(c, 2) for c in cpu],
+            "concurrency": round(sum(busy) / best_b, 2) if busy else None,
+            "cpu_parallelism": round(sum(cpu) / best_b, 2) if cpu else None,
         }
         print(f"t={t}: batch {best_b:.2f}s loop {best_l:.2f}s "
-              f"busy={[round(b, 2) for b in busy]} "
-              f"eff={report['per_thread'][t]['effective_parallelism']}",
+              f"cpu={[round(c, 2) for c in cpu]} "
+              f"cpu_par={report['per_thread'][t]['cpu_parallelism']}",
               flush=True)
     print(json.dumps(report), flush=True)
 

@@ -255,7 +255,7 @@ def test_batch_ingest_matches_per_sample(tmp_path):
     # per-thread busy instrumentation: one slot per worker actually used,
     # every file's decode time accounted somewhere
     assert tstats["n_threads"] == 3
-    assert len(tstats["busy_s"]) == 3
+    assert len(tstats["busy_s"]) == 3 == len(tstats["cpu_s"])
     assert all(b >= 0 for b in tstats["busy_s"])
     assert sum(tstats["busy_s"]) > 0
 
