@@ -60,17 +60,29 @@ def write_cram(path, references, records, slice_records=10_000,
         )
     hdr = sam_header.encode()
 
-    def col(getter, dtype):
-        return np.array([getter(r) for r in recs], dtype=dtype)
+    # ONE attribute-extraction pass (operator.attrgetter returns the whole
+    # tuple in C): 8 separate per-record lambda loops measured ~40% of the
+    # whole call at 200k records (scripts/bench_write_throughput.py)
+    import operator
 
-    flag = col(lambda r: r.flag, np.int32)
-    ref_id = col(lambda r: r.ref_id, np.int32)
-    pos = col(lambda r: r.pos, np.int64)
-    mapq = col(lambda r: r.mapq, np.int32)
-    rl = col(lambda r: r.rl or (len(r.seq) if r.seq else 0), np.int32)
-    mate_ref = col(lambda r: r.mate_ref_id, np.int32)
-    mate_pos = col(lambda r: r.mate_pos, np.int64)
-    tlen = col(lambda r: r.tlen, np.int32)
+    get = operator.attrgetter(
+        "flag", "ref_id", "pos", "mapq", "rl", "mate_ref_id", "mate_pos",
+        "tlen", "seq",
+    )
+    rows = [get(r) for r in recs]
+    (flag_t, ref_t, pos_t, mapq_t, rl_t, mref_t, mpos_t, tlen_t, seq_t) = (
+        zip(*rows) if rows else ((),) * 9
+    )
+    flag = np.array(flag_t, np.int32)
+    ref_id = np.array(ref_t, np.int32)
+    pos = np.array(pos_t, np.int64)
+    mapq = np.array(mapq_t, np.int32)
+    rl = np.array(
+        [r or (len(s) if s else 0) for r, s in zip(rl_t, seq_t)], np.int32
+    )
+    mate_ref = np.array(mref_t, np.int32)
+    mate_pos = np.array(mpos_t, np.int64)
+    tlen = np.array(tlen_t, np.int32)
 
     def packed(parts):
         off = np.zeros(n + 1, np.int64)
@@ -78,7 +90,7 @@ def write_cram(path, references, records, slice_records=10_000,
         return np.frombuffer(b"".join(parts), dtype=np.uint8).copy(), off
 
     names, name_off = packed([r.name.encode() for r in recs])
-    seqs, seq_off = packed([(r.seq or "").encode() for r in recs])
+    seqs, seq_off = packed([(s or "").encode() for s in seq_t])
     quals, qual_off = packed([bytes(r.qual) if r.qual is not None else b""
                               for r in recs])
 

@@ -71,9 +71,26 @@ void ltf8_encode(Bytes& out, int64_t sv) {
   }
 }
 
+int gzip_level() {
+  // level 1 by default, like the text output writers (io/formats.py:31):
+  // decoded content is identical at every level; level 6 measured 1.45x
+  // slower for ~27% smaller files at 200k records
+  // (scripts/bench_write_throughput.py). GRID_TPU_GZ_LEVEL overrides
+  // (e.g. 6/9 for archival).
+  static int lvl = [] {
+    const char* e = getenv("GRID_TPU_GZ_LEVEL");
+    if (e && *e) {
+      int v = atoi(e);
+      if (v >= 0 && v <= 9) return v;
+    }
+    return 1;
+  }();
+  return lvl;
+}
+
 bool gzip_compress(const Bytes& src, Bytes& dst) {
   z_stream zs{};
-  if (deflateInit2(&zs, Z_DEFAULT_COMPRESSION, Z_DEFLATED, 15 + 16, 8,
+  if (deflateInit2(&zs, gzip_level(), Z_DEFLATED, 15 + 16, 8,
                    Z_DEFAULT_STRATEGY) != Z_OK)
     return false;
   dst.resize(deflateBound(&zs, (uLong)src.size()));
