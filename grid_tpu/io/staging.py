@@ -312,20 +312,34 @@ def stage_cohort(
     n, r = len(sample_ids), int(col_used.sum())
     # np.empty, not zeros: fully-covered rows (the regular-grid common
     # case) are written whole, so zero-init would double the memory
-    # traffic on a multi-GB matrix; partial rows zero themselves first
+    # traffic on a multi-GB matrix; partial rows zero themselves first.
+    # Row ranges fill on the scan thread pool (numpy copies release the
+    # GIL) — the serial fill was ~12 s of the 2.7 GB config-2 matrix.
     values = np.empty((n, r), dtype=np.float64)
     mask = np.empty((n, r), dtype=bool)
-    for i, sid in enumerate(sample_ids):
-        idx, d = projected[sid]
-        cols = col_map[idx]
-        if len(cols) == r:  # sorted unique full cover == arange: memcpy row
-            values[i] = d
-            mask[i] = True
-        else:
-            values[i] = 0.0
-            mask[i] = False
-            values[i, cols] = d
-            mask[i, cols] = True
+
+    def _fill_rows(lo, hi):
+        for i in range(lo, hi):
+            idx, d = projected[sample_ids[i]]
+            cols = col_map[idx]
+            if len(cols) == r:  # sorted unique full cover == arange: memcpy
+                values[i] = d
+                mask[i] = True
+            else:
+                values[i] = 0.0
+                mask[i] = False
+                values[i, cols] = d
+                mask[i, cols] = True
+
+    if threads > 1 and n > 1:
+        step = -(-n // threads)
+        with ThreadPoolExecutor(max_workers=threads) as ex:
+            list(ex.map(
+                lambda t: _fill_rows(t * step, min((t + 1) * step, n)),
+                range(threads),
+            ))
+    else:
+        _fill_rows(0, n)
 
     return CohortStage(sample_ids=sample_ids, regions=regions, values=values, mask=mask)
 

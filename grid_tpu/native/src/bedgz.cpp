@@ -15,7 +15,10 @@
 
 #include <zlib.h>
 
+#include "bedwrite.h"  // LibDeflateApi (runtime-resolved libdeflate)
+
 #include <cstdint>
+#include <cstdio>
 #include <cstdlib>
 #include <cstring>
 #include <string>
@@ -58,6 +61,48 @@ inline const char* parse_i64(const char* p, const char* lim, int64_t* out) {
 
 inline const char* parse_double(const char* p, const char* lim, double* out) {
   if (p >= lim) return nullptr;
+  // Fast path for mosdepth's fixed-point depths ([-]digits[.digits]):
+  // accumulate every digit into ONE integer and divide once by 10^nf —
+  // numerator and denominator are both exact doubles (<= 15 significant
+  // digits), so the single rounding gives the IDENTICAL bits to strtod
+  // (the byte-parity contract vs Python float()). strtod was ~40% of the
+  // whole 3M-line scan (docs/perf.md r5).
+  static const double P10[16] = {1.0, 1e1, 1e2, 1e3, 1e4, 1e5, 1e6, 1e7,
+                                 1e8, 1e9, 1e10, 1e11, 1e12, 1e13, 1e14,
+                                 1e15};
+  const char* q = p;
+  bool neg = false;
+  if (*q == '-' || *q == '+') {
+    neg = (*q == '-');
+    ++q;
+  }
+  uint64_t digits = 0;
+  int nd = 0, nf = -1;  // nf >= 0 once a '.' was seen
+  const char* fast_end = nullptr;
+  while (q < lim) {
+    char c = *q;
+    if (c >= '0' && c <= '9') {
+      if (nd >= 15) break;  // would lose exactness: fall back
+      digits = digits * 10 + (uint64_t)(c - '0');
+      ++nd;
+      if (nf >= 0) ++nf;
+    } else if (c == '.' && nf < 0) {
+      nf = 0;
+    } else if (c == '\t' || c == '\n' || c == '\r') {
+      fast_end = q;
+      break;
+    } else {
+      break;  // exponent / inf / nan / junk: fall back
+    }
+    ++q;
+  }
+  if (q == lim) fast_end = q;
+  if (fast_end && nd > 0) {
+    double v = (double)digits / P10[nf > 0 ? nf : 0];
+    *out = neg ? -v : v;
+    return fast_end;
+  }
+  // slow path: anything the fast scan rejected (exponents, >15 digits)
   char buf[64];
   size_t n = 0;
   while (p < lim && *p != '\t' && *p != '\n' && *p != '\r' && n < sizeof(buf) - 1) {
@@ -69,6 +114,93 @@ inline const char* parse_double(const char* p, const char* lim, double* out) {
   *out = strtod(buf, &endp);
   if (endp == buf) return nullptr;
   return p;
+}
+
+// Walk a BGZF file's independent gzip members, libdeflate-inflating each
+// <=64 KiB block and feeding it to `consume` (zlib raw-inflate fallback).
+// Returns 1 = handled, 0 = not BGZF (caller uses the generic-gzip path),
+// -1 = corrupt/IO error (caller reports; Python falls back to its pure
+// reader, which re-reads from the start — nothing was emitted to the
+// caller's output arrays on error paths that matter, since the wrapper
+// discards results on a nonzero rc).
+template <class F>
+int scan_bgzf(const char* path, F&& consume) {
+  FILE* fp = fopen(path, "rb");
+  if (!fp) return 0;
+  uint8_t hdr[18];
+  size_t got = fread(hdr, 1, sizeof hdr, fp);
+  bool bgzf = got == sizeof hdr && hdr[0] == 0x1f && hdr[1] == 0x8b &&
+              hdr[2] == 8 && (hdr[3] & 4) && hdr[12] == 'B' && hdr[13] == 'C';
+  if (!bgzf) {
+    fclose(fp);
+    return 0;
+  }
+  if (fseek(fp, 0, SEEK_END) != 0) {
+    fclose(fp);
+    return -1;
+  }
+  long fsz = ftell(fp);
+  if (fsz <= 0 || fseek(fp, 0, SEEK_SET) != 0) {
+    fclose(fp);
+    return -1;
+  }
+  std::vector<uint8_t> fb((size_t)fsz);
+  bool ok = fread(fb.data(), 1, fb.size(), fp) == fb.size();
+  fclose(fp);
+  if (!ok) return -1;
+
+  const gridtpu::LibDeflateApi& a = gridtpu::libdeflate_api();
+  void* d = gridtpu::libdeflate_decompressor();
+  std::vector<uint8_t> ublock(1 << 16);
+  size_t o = 0;
+  while (o < fb.size()) {
+    if (o + 18 > fb.size()) return -1;
+    const uint8_t* h = fb.data() + o;
+    if (!(h[0] == 0x1f && h[1] == 0x8b && h[2] == 8 && (h[3] & 4))) return -1;
+    uint16_t xlen = (uint16_t)h[10] | ((uint16_t)h[11] << 8);
+    size_t xoff = o + 12, xend = xoff + xlen;
+    if (xend > fb.size()) return -1;
+    int32_t bsize = -1;
+    for (size_t e = xoff; e + 4 <= xend;) {
+      uint16_t slen = (uint16_t)fb[e + 2] | ((uint16_t)fb[e + 3] << 8);
+      if (fb[e] == 'B' && fb[e + 1] == 'C' && slen == 2 && e + 6 <= xend) {
+        bsize = ((int32_t)fb[e + 4] | ((int32_t)fb[e + 5] << 8)) + 1;
+        break;
+      }
+      e += 4 + slen;
+    }
+    if (bsize < (int32_t)(12 + xlen + 8) || o + (size_t)bsize > fb.size())
+      return -1;
+    size_t cdata_len = (size_t)bsize - 12 - xlen - 8;
+    const uint8_t* cdata = fb.data() + xend;
+    const uint8_t* tail = cdata + cdata_len;
+    uint32_t isize = (uint32_t)tail[4] | ((uint32_t)tail[5] << 8) |
+                     ((uint32_t)tail[6] << 16) | ((uint32_t)tail[7] << 24);
+    if (isize > (1u << 16)) return -1;
+    if (isize) {
+      if (d) {
+        size_t actual = 0;
+        if (a.deflate_decompress(d, cdata, cdata_len, ublock.data(),
+                                 ublock.size(), &actual) != 0 ||
+            actual != isize)
+          return -1;
+      } else {
+        z_stream zs;
+        memset(&zs, 0, sizeof(zs));
+        if (inflateInit2(&zs, -15) != Z_OK) return -1;
+        zs.next_in = const_cast<Bytef*>(cdata);
+        zs.avail_in = (uInt)cdata_len;
+        zs.next_out = ublock.data();
+        zs.avail_out = (uInt)ublock.size();
+        int ret = inflate(&zs, Z_FINISH);
+        inflateEnd(&zs);
+        if (ret != Z_STREAM_END || zs.total_out != isize) return -1;
+      }
+      consume((const char*)ublock.data(), (int64_t)isize);
+    }
+    o += (size_t)bsize;
+  }
+  return 1;
 }
 
 }  // namespace
@@ -98,10 +230,6 @@ int grid_bed_read(const char* path, const char* chrom_filter, int has_window,
     auto& s = mask.bins[name];
     for (int64_t j = mask_offsets[i]; j < mask_offsets[i + 1]; ++j) s.insert(mask_kb[j]);
   }
-
-  gzFile f = gzopen(path, "rb");
-  if (!f) return -1;
-  gzbuffer(f, 1 << 20);
 
   std::vector<int64_t> starts, ends;
   std::vector<double> depths;
@@ -159,14 +287,7 @@ int grid_bed_read(const char* path, const char* chrom_filter, int has_window,
     depths.push_back(d);
   };
 
-  for (;;) {
-    int got = gzread(f, buf.data(), BUF);
-    if (got < 0) {
-      gzclose(f);
-      return -2;
-    }
-    if (got == 0) break;
-    const char* data = buf.data();
+  auto consume = [&](const char* data, int64_t got) {
     int64_t off = 0;
     while (off < got) {
       const char* nl = (const char*)memchr(data + off, '\n', got - off);
@@ -183,9 +304,30 @@ int grid_bed_read(const char* path, const char* chrom_filter, int has_window,
       }
       off = (nl - data) + 1;
     }
+  };
+
+  // BGZF fast path: mosdepth emits BGZF (as does grid_tpu's own bed
+  // writer) — independent <=64 KiB raw-deflate members that libdeflate
+  // decodes ~2x faster than zlib's streaming inflate. gzread stays as
+  // the generic-gzip fallback.
+  int bg = scan_bgzf(path, consume);
+  if (bg < 0) return -2;
+  if (bg == 0) {
+    gzFile f = gzopen(path, "rb");
+    if (!f) return -1;
+    gzbuffer(f, 1 << 20);
+    for (;;) {
+      int got = gzread(f, buf.data(), BUF);
+      if (got < 0) {
+        gzclose(f);
+        return -2;
+      }
+      if (got == 0) break;
+      consume(buf.data(), got);
+    }
+    gzclose(f);
   }
   if (!carry.empty()) process_line(carry.data(), carry.data() + carry.size());
-  gzclose(f);
 
   int64_t n = (int64_t)starts.size();
   *out_starts = (int64_t*)malloc(sizeof(int64_t) * (n ? n : 1));

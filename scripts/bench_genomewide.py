@@ -10,7 +10,8 @@ only the 22 ms on-device half.
     PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_genomewide.py \
         --out /tmp/gw --tpu
 
-Fabrication writes ONE genome-wide bed.gz (3M bins, gzip level 1) and
+Fabrication writes ONE genome-wide BGZF bed.gz (3M bins — the container
+mosdepth itself emits) and
 hardlinks it per sample — identical content does not cheapen the work
 (every file is decompressed and parsed independently); fab time stands in
 for mosdepth and is reported separately. The device phase times
@@ -43,20 +44,27 @@ def fabricate(out: Path) -> float:
     master = beds / "S000_region.regions.bed.gz"
     t0 = time.perf_counter()
     if not master.exists():
+        # BGZF container, like mosdepth's own regions.bed.gz output (and
+        # grid_tpu's built-in binner) — the representative on-disk form;
+        # the scanner's libdeflate block path handles it
+        from grid_tpu.io.bamlite import bgzf_compress
+
         rng = np.random.default_rng(7)
         depths = rng.normal(30.0, 3.0, N_BINS).clip(0.01)
         starts = np.arange(N_BINS, dtype=np.int64) * BIN
-        chunks = []
         step = 200_000
-        for lo in range(0, N_BINS, step):
-            hi = min(lo + step, N_BINS)
-            chunks.append("".join(
-                f"chr1\t{starts[i]}\t{starts[i] + BIN}\t{depths[i]:.2f}\n"
-                for i in range(lo, hi)
-            ).encode())
-        with gzip.open(master, "wb", compresslevel=1) as f:
-            for c in chunks:
-                f.write(c)
+        from grid_tpu.io.bamlite import _BGZF_EOF
+
+        with open(master, "wb") as f:
+            for lo in range(0, N_BINS, step):
+                hi = min(lo + step, N_BINS)
+                text = "".join(
+                    f"chr1\t{starts[i]}\t{starts[i] + BIN}\t{depths[i]:.2f}\n"
+                    for i in range(lo, hi)
+                ).encode()
+                # strip the per-call EOF marker; ONE goes at the end
+                f.write(bgzf_compress(text)[: -len(_BGZF_EOF)])
+            f.write(_BGZF_EOF)
     for i in range(1, N_SAMPLES):
         link = beds / f"S{i:03d}_region.regions.bed.gz"
         if not link.exists():

@@ -176,3 +176,61 @@ def test_zero_run_cache_byte_parity_multi_contig(tmp_path, monkeypatch):
     text = outs["cached"].decode()
     assert "chrM\t16000\t16571\t" in text            # partial final bin
     assert text.count("chr7\t") == 1000              # all-zero contig kept
+
+
+def test_native_depth_parse_bit_exact_vs_python_float(tmp_path):
+    """The scanner's fast fixed-point depth parse must be BIT-identical to
+    Python float()/strtod across formats — fixed-point, full-precision
+    repr (17 digits -> slow path), exponent forms, trailing dot, sign —
+    in BOTH containers (plain gzip stream and BGZF blocks)."""
+    import gzip
+    import random
+    import struct
+
+    from grid_tpu.io.bamlite import bgzf_compress
+    from grid_tpu.io.bed import read_regions_bed_gz, _native_reader
+
+    if _native_reader() is None:
+        pytest.skip("native library unavailable")
+
+    rng = random.Random(11)
+    rows, vals = [], []
+    for i in range(8000):
+        kind = rng.randrange(8)
+        if kind == 0:
+            t = f"{rng.uniform(0, 1000):.2f}"
+        elif kind == 1:
+            t = str(rng.randrange(0, 10**6))
+        elif kind == 2:
+            t = f"{rng.uniform(0, 1):.6f}"
+        elif kind == 3:
+            t = f"{rng.uniform(0, 1e12):.3f}"
+        elif kind == 4:
+            t = repr(rng.uniform(0, 1e4))
+        elif kind == 5:
+            t = f"{rng.uniform(0, 100):e}"
+        elif kind == 6:
+            t = f"{rng.randrange(1, 99)}."
+        else:
+            t = f"{rng.uniform(0.01, 50):.2f}"
+        v = float(t)
+        if v <= 0:
+            t, v = "1.5", 1.5
+        rows.append((i * 1000, i * 1000 + 1000, t))
+        vals.append(v)
+    text = "".join(
+        f"chr1\t{s}\t{e}\t{t}\n" for (s, e, t) in rows
+    ).encode()
+
+    plain = tmp_path / "plain.bed.gz"
+    with gzip.open(plain, "wb") as f:
+        f.write(text)
+    blocked = tmp_path / "blocked.bed.gz"
+    blocked.write_bytes(bgzf_compress(text))
+
+    for path in (plain, blocked):
+        _, _, d = read_regions_bed_gz(path, "chr1", 0, 10**12, {})
+        assert len(d) == len(vals)
+        for got, want in zip(d, vals):
+            assert struct.pack("<d", got) == struct.pack("<d", want), (
+                path.name, got, want)
