@@ -234,3 +234,26 @@ def test_native_depth_parse_bit_exact_vs_python_float(tmp_path):
         for got, want in zip(d, vals):
             assert struct.pack("<d", got) == struct.pack("<d", want), (
                 path.name, got, want)
+
+
+def test_bgzf_scan_corrupt_inputs_degrade_gracefully(tmp_path):
+    """A lying BC size must fall back to the pure reader (the extra field
+    is opaque to generic gzip, so the file is still readable); a truncated
+    file raises like any truncated gzip (per-sample catch upstream)."""
+    from grid_tpu.io.bamlite import bgzf_compress
+    from grid_tpu.io.bed import read_regions_bed_gz
+
+    text = b"chr1\t0\t1000\t5.00\nchr1\t1000\t2000\t6.00\n"
+    blob = bgzf_compress(text)
+
+    bad = bytearray(blob)
+    bad[17] ^= 0xFF  # corrupt BSIZE inside the BC extra subfield
+    p = tmp_path / "badsize.bed.gz"
+    p.write_bytes(bytes(bad))
+    s, e, d = read_regions_bed_gz(p, "chr1", 0, 10**9, {})
+    assert list(s) == [0, 1000] and list(d) == [5.0, 6.0]
+
+    p2 = tmp_path / "trunc.bed.gz"
+    p2.write_bytes(blob[: len(blob) // 2])
+    with pytest.raises(Exception):
+        read_regions_bed_gz(p2, "chr1", 0, 10**9, {})
