@@ -47,6 +47,36 @@ class CohortStage(NamedTuple):
     mask: np.ndarray
 
 
+_BULK_ALLOC_DONE = False
+
+
+def _bulk_alloc_mode():
+    """Raise glibc's trim/mmap thresholds (128 MB) once per process before
+    a cohort scan. The per-file scratch here is ~100 MB of short-lived
+    buffers; at default thresholds glibc mmap()s them and returns the
+    pages to the kernel on free, so EVERY file re-soft-faults them —
+    measured 650 -> ~300 ms per 3M-line file once the fix keeps freed
+    blocks heap-reusable. Cost: freed scratch stays in RSS up to the heap
+    high-water mark (bounded by one file's scratch). GRID_TPU_NO_MALLOPT=1
+    opts out; no-op off glibc."""
+    global _BULK_ALLOC_DONE
+    if _BULK_ALLOC_DONE:
+        return
+    _BULK_ALLOC_DONE = True
+    import ctypes
+    import os
+
+    if os.environ.get("GRID_TPU_NO_MALLOPT") == "1":
+        return
+    try:
+        libc = ctypes.CDLL("libc.so.6")
+        M_TRIM_THRESHOLD, M_MMAP_THRESHOLD = -1, -3
+        libc.mallopt(M_TRIM_THRESHOLD, 128 << 20)
+        libc.mallopt(M_MMAP_THRESHOLD, 128 << 20)
+    except Exception:  # pragma: no cover - non-glibc platforms
+        pass
+
+
 def _dedupe_last_wins(starts, ends, depths):
     """Keep the LAST occurrence of each (start, end) pair, preserving the
     reference's dict-overwrite semantics for duplicate lines.
@@ -94,6 +124,7 @@ def scan_cohort_regions(
     grid/utils/normalize_mosdepth.py:353-355).
     """
 
+    _bulk_alloc_mode()
     empty = (np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.float64))
 
     def _scan(item):
@@ -902,6 +933,8 @@ def stage_cohort_streaming(
             mosdepth_dir, samples, chromosome, start, end, excluded,
             min_depth, max_depth, threads, console,
         )
+
+    _bulk_alloc_mode()
 
     def _scan(item):
         sid, path = item
