@@ -240,19 +240,6 @@ def _composite(starts, ends):
     return (np.asarray(starts, np.uint64) << np.uint64(32)) | np.asarray(ends, np.uint64)
 
 
-def _region_search(regions: np.ndarray, starts, ends):
-    """Map (start, end) pairs to row indices in the (start, end)-sorted
-    [M, 2] regions array via exact binary search; -1 for misses."""
-    if len(regions) == 0 or len(starts) == 0:
-        return np.full(len(starts), -1, dtype=np.int64)
-    reg_keys = _composite(regions[:, 0], regions[:, 1])
-    keys = _composite(starts, ends)
-    pos = np.searchsorted(reg_keys, keys)
-    pos_c = pos.clip(max=len(reg_keys) - 1)
-    idx = np.where((pos < len(reg_keys)) & (reg_keys[pos_c] == keys), pos_c, -1)
-    return idx.astype(np.int64)
-
-
 def stage_cohort(
     mosdepth_dir,
     samples,

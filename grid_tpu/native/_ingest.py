@@ -212,12 +212,15 @@ def ingest_batch(entries, chrom, start, end, flags, count_min_mapq=1,
     else:
         bptrs = (None, None, None, None)
 
-    max_threads = int(threads) if int(threads) > 0 else (os.cpu_count() or 1)
-    busy = np.zeros(max(max_threads, 1), np.float64)
-    cpu = np.zeros(max(max_threads, 1), np.float64)
+    # Python decides the thread count and sizes the stats buffers to it;
+    # n_threads is never passed as 0, so the C side cannot pick a larger
+    # hardware_concurrency and write past the buffers.
+    eff_threads = int(threads) if int(threads) > 0 else (os.cpu_count() or 1)
+    busy = np.zeros(max(eff_threads, 1), np.float64)
+    cpu = np.zeros(max(eff_threads, 1), np.float64)
     nt_used = np.zeros(1, np.int32)
     rc = cfn(
-        paths_buf, beds_buf, is_cram.ctypes.data_as(_I32P), n, int(threads),
+        paths_buf, beds_buf, is_cram.ctypes.data_as(_I32P), n, eff_threads,
         int(bin_size), int(exclude_flags), int(bin_min_mapq),
         int(bool(skip_zero)), str(chrom).encode(), int(start), int(end),
         flag_arr.ctypes.data_as(_I32P), len(flag_list), int(count_min_mapq),

@@ -135,71 +135,72 @@ int scan_bgzf(const char* path, F&& consume) {
     fclose(fp);
     return 0;
   }
-  if (fseek(fp, 0, SEEK_END) != 0) {
+  if (fseek(fp, 0, SEEK_SET) != 0) {
     fclose(fp);
     return -1;
   }
-  long fsz = ftell(fp);
-  if (fsz <= 0 || fseek(fp, 0, SEEK_SET) != 0) {
-    fclose(fp);
-    return -1;
-  }
-  std::vector<uint8_t> fb((size_t)fsz);
-  bool ok = fread(fb.data(), 1, fb.size(), fp) == fb.size();
-  fclose(fp);
-  if (!ok) return -1;
 
+  // Streaming member-by-member: BGZF blocks are <= 64 KiB compressed AND
+  // uncompressed, so fixed bounded buffers suffice — a cohort scan with N
+  // threads holds N x ~192 KiB, never N whole files.
   const gridtpu::LibDeflateApi& a = gridtpu::libdeflate_api();
   void* d = gridtpu::libdeflate_decompressor();
-  std::vector<uint8_t> ublock(1 << 16);
-  size_t o = 0;
-  while (o < fb.size()) {
-    if (o + 18 > fb.size()) return -1;
-    const uint8_t* h = fb.data() + o;
-    if (!(h[0] == 0x1f && h[1] == 0x8b && h[2] == 8 && (h[3] & 4))) return -1;
-    uint16_t xlen = (uint16_t)h[10] | ((uint16_t)h[11] << 8);
-    size_t xoff = o + 12, xend = xoff + xlen;
-    if (xend > fb.size()) return -1;
+  std::vector<uint8_t> extra(1 << 16), cdata(1 << 16), ublock(1 << 16);
+  auto fail = [&]() {
+    fclose(fp);
+    return -1;
+  };
+  for (;;) {
+    uint8_t mh[12];
+    size_t r = fread(mh, 1, sizeof mh, fp);
+    if (r == 0) break;  // clean EOF at a member boundary
+    if (r != sizeof mh) return fail();
+    if (!(mh[0] == 0x1f && mh[1] == 0x8b && mh[2] == 8 && (mh[3] & 4)))
+      return fail();
+    uint16_t xlen = (uint16_t)mh[10] | ((uint16_t)mh[11] << 8);
+    if (fread(extra.data(), 1, xlen, fp) != xlen) return fail();
     int32_t bsize = -1;
-    for (size_t e = xoff; e + 4 <= xend;) {
-      uint16_t slen = (uint16_t)fb[e + 2] | ((uint16_t)fb[e + 3] << 8);
-      if (fb[e] == 'B' && fb[e + 1] == 'C' && slen == 2 && e + 6 <= xend) {
-        bsize = ((int32_t)fb[e + 4] | ((int32_t)fb[e + 5] << 8)) + 1;
+    for (size_t e = 0; e + 4 <= xlen;) {
+      uint16_t slen = (uint16_t)extra[e + 2] | ((uint16_t)extra[e + 3] << 8);
+      if (extra[e] == 'B' && extra[e + 1] == 'C' && slen == 2 &&
+          e + 6 <= xlen) {
+        bsize = ((int32_t)extra[e + 4] | ((int32_t)extra[e + 5] << 8)) + 1;
         break;
       }
       e += 4 + slen;
     }
-    if (bsize < (int32_t)(12 + xlen + 8) || o + (size_t)bsize > fb.size())
-      return -1;
+    if (bsize < (int32_t)(12 + xlen + 8)) return fail();
     size_t cdata_len = (size_t)bsize - 12 - xlen - 8;
-    const uint8_t* cdata = fb.data() + xend;
-    const uint8_t* tail = cdata + cdata_len;
+    if (cdata_len > cdata.size()) return fail();  // BGZF caps bsize at 64K
+    if (fread(cdata.data(), 1, cdata_len, fp) != cdata_len) return fail();
+    uint8_t tail[8];
+    if (fread(tail, 1, 8, fp) != 8) return fail();
     uint32_t isize = (uint32_t)tail[4] | ((uint32_t)tail[5] << 8) |
                      ((uint32_t)tail[6] << 16) | ((uint32_t)tail[7] << 24);
-    if (isize > (1u << 16)) return -1;
+    if (isize > (1u << 16)) return fail();
     if (isize) {
       if (d) {
         size_t actual = 0;
-        if (a.deflate_decompress(d, cdata, cdata_len, ublock.data(),
+        if (a.deflate_decompress(d, cdata.data(), cdata_len, ublock.data(),
                                  ublock.size(), &actual) != 0 ||
             actual != isize)
-          return -1;
+          return fail();
       } else {
         z_stream zs;
         memset(&zs, 0, sizeof(zs));
-        if (inflateInit2(&zs, -15) != Z_OK) return -1;
-        zs.next_in = const_cast<Bytef*>(cdata);
+        if (inflateInit2(&zs, -15) != Z_OK) return fail();
+        zs.next_in = cdata.data();
         zs.avail_in = (uInt)cdata_len;
         zs.next_out = ublock.data();
         zs.avail_out = (uInt)ublock.size();
         int ret = inflate(&zs, Z_FINISH);
         inflateEnd(&zs);
-        if (ret != Z_STREAM_END || zs.total_out != isize) return -1;
+        if (ret != Z_STREAM_END || zs.total_out != isize) return fail();
       }
       consume((const char*)ublock.data(), (int64_t)isize);
     }
-    o += (size_t)bsize;
   }
+  fclose(fp);
   return 1;
 }
 
@@ -216,7 +217,11 @@ int grid_bed_read(const char* path, const char* chrom_filter, int has_window,
                   int64_t win_start, int64_t win_end, const char* mask_names,
                   int32_t n_mask_chroms, const int64_t* mask_offsets,
                   const int64_t* mask_kb, int64_t** out_starts,
-                  int64_t** out_ends, double** out_depths, int64_t* out_n) {
+                  int64_t** out_ends, double** out_depths, int64_t* out_n)
+// function-try-block: a std::bad_alloc (result vectors at genome scale)
+// must become an error code, not std::terminate through the C ABI — the
+// Python side falls back to its pure reader on any nonzero rc
+try {
   *out_starts = nullptr;
   *out_ends = nullptr;
   *out_depths = nullptr;
@@ -339,6 +344,8 @@ int grid_bed_read(const char* path, const char* chrom_filter, int has_window,
   memcpy(*out_depths, depths.data(), sizeof(double) * n);
   *out_n = n;
   return 0;
+} catch (...) {
+  return -3;
 }
 
 void grid_bed_free(int64_t* starts, int64_t* ends, double* depths) {
