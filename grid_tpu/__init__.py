@@ -31,7 +31,7 @@ Quick start (library use):
     run_wgs_pipeline(config="config.yaml")
 """
 
-__version__ = "0.4.0"
+__version__ = "0.6.0"
 
 from grid_tpu import ops  # noqa: F401
 
