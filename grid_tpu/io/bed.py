@@ -132,6 +132,13 @@ def read_regions_bed_gz_grouped(path, excluded=None):
     order — mosdepth output is grouped by chromosome, so typically one
     segment per chromosome.
     """
+    try:
+        from grid_tpu.native import bedgz
+
+        return bedgz.read_regions_bed_gz_grouped(path, excluded)
+    except Exception:
+        pass  # fall back to pure Python on any native failure
+
     excluded = excluded or {}
     segments: list[tuple[str, np.ndarray, np.ndarray, np.ndarray]] = []
     cur = None

@@ -354,4 +354,162 @@ void grid_bed_free(int64_t* starts, int64_t* ends, double* depths) {
   free(depths);
 }
 
+// Multi-chromosome variant mirroring io/bed.py:read_regions_bed_gz_grouped:
+// NO window, depth > 0 filter (NaN kept, like Python's `depth <= 0`),
+// kb-bin mask on the NORMALIZED chrom, and contiguous same-chrom runs
+// become segments in file order.  Outputs: the three row arrays plus
+// seg_names (NUL-separated NORMALIZED names, one per segment, malloc'd)
+// and seg_bounds (n_segs+1 malloc'd offsets into the row arrays).
+// Known leniency shared with grid_bed_read: a depth field like "1.2abc"
+// parses as 1.2 where Python float() would reject the line.
+int grid_bed_read_grouped(const char* path, const char* mask_names,
+                          int32_t n_mask_chroms, const int64_t* mask_offsets,
+                          const int64_t* mask_kb, int64_t** out_starts,
+                          int64_t** out_ends, double** out_depths,
+                          char** out_seg_names, int64_t* out_seg_names_len,
+                          int64_t** out_seg_bounds, int64_t* out_n_segs,
+                          int64_t* out_n)
+try {
+  *out_starts = nullptr;
+  *out_ends = nullptr;
+  *out_depths = nullptr;
+  *out_seg_names = nullptr;
+  *out_seg_names_len = 0;
+  *out_seg_bounds = nullptr;
+  *out_n_segs = 0;
+  *out_n = 0;
+
+  Mask mask;
+  const char* name_p = mask_names;
+  for (int32_t i = 0; i < n_mask_chroms; ++i) {
+    std::string name(name_p);
+    name_p += name.size() + 1;
+    auto& s = mask.bins[name];
+    for (int64_t j = mask_offsets[i]; j < mask_offsets[i + 1]; ++j)
+      s.insert(mask_kb[j]);
+  }
+
+  std::vector<int64_t> starts, ends;
+  std::vector<double> depths;
+  std::string seg_names;            // NUL-separated normalized names
+  std::vector<int64_t> seg_bounds;  // row offset where each segment starts
+  std::string cur;                  // current segment's normalized chrom
+  bool have_cur = false;
+
+  const size_t BUF = 1 << 20;
+  std::vector<char> buf(BUF);
+  std::string carry;
+
+  auto process_line = [&](const char* line, const char* lim) {
+    if (line >= lim) return;
+    const char* p = line;
+    const char* tab = (const char*)memchr(p, '\t', lim - p);
+    if (!tab) return;
+    const char* chrom = p;
+    size_t chrom_len = tab - p;
+    char normed[72];
+    const char* chrom_key = chrom;
+    size_t chrom_key_len = chrom_len;
+    if (chrom_len < 3 || memcmp(chrom, "chr", 3) != 0) {
+      if (chrom_len + 3 < sizeof(normed)) {
+        memcpy(normed, "chr", 3);
+        memcpy(normed + 3, chrom, chrom_len);
+        chrom_key = normed;
+        chrom_key_len = chrom_len + 3;
+      }
+    }
+    p = tab + 1;
+    int64_t s, e;
+    p = parse_i64(p, lim, &s);
+    if (!p || p >= lim || *p != '\t') return;
+    ++p;
+    p = parse_i64(p, lim, &e);
+    if (!p || p >= lim || *p != '\t') return;
+    ++p;
+    double d;
+    p = parse_double(p, lim, &d);
+    if (!p) return;
+    if (d <= 0) return;  // NaN compares false: kept, like Python
+    if (mask.excluded(chrom_key, chrom_key_len, s, e)) return;
+
+    if (!have_cur || cur.size() != chrom_key_len ||
+        memcmp(cur.data(), chrom_key, chrom_key_len) != 0) {
+      cur.assign(chrom_key, chrom_key_len);
+      have_cur = true;
+      seg_bounds.push_back((int64_t)starts.size());
+      seg_names.append(cur);
+      seg_names.push_back('\0');
+    }
+    starts.push_back(s);
+    ends.push_back(e);
+    depths.push_back(d);
+  };
+
+  auto consume = [&](const char* data, int64_t got) {
+    int64_t off = 0;
+    while (off < got) {
+      const char* nl = (const char*)memchr(data + off, '\n', got - off);
+      if (!nl) {
+        carry.append(data + off, got - off);
+        break;
+      }
+      if (!carry.empty()) {
+        carry.append(data + off, nl - (data + off));
+        process_line(carry.data(), carry.data() + carry.size());
+        carry.clear();
+      } else {
+        process_line(data + off, nl);
+      }
+      off = (nl - data) + 1;
+    }
+  };
+
+  int bg = scan_bgzf(path, consume);
+  if (bg < 0) return -2;
+  if (bg == 0) {
+    gzFile f = gzopen(path, "rb");
+    if (!f) return -1;
+    gzbuffer(f, 1 << 20);
+    for (;;) {
+      int got = gzread(f, buf.data(), BUF);
+      if (got < 0) {
+        gzclose(f);
+        return -2;
+      }
+      if (got == 0) break;
+      consume(buf.data(), got);
+    }
+    gzclose(f);
+  }
+  if (!carry.empty()) process_line(carry.data(), carry.data() + carry.size());
+
+  int64_t n = (int64_t)starts.size();
+  int64_t n_segs = (int64_t)seg_bounds.size();
+  seg_bounds.push_back(n);
+  *out_starts = (int64_t*)malloc(sizeof(int64_t) * (n ? n : 1));
+  *out_ends = (int64_t*)malloc(sizeof(int64_t) * (n ? n : 1));
+  *out_depths = (double*)malloc(sizeof(double) * (n ? n : 1));
+  *out_seg_names = (char*)malloc(seg_names.size() ? seg_names.size() : 1);
+  *out_seg_bounds = (int64_t*)malloc(sizeof(int64_t) * (n_segs + 1));
+  if (!*out_starts || !*out_ends || !*out_depths || !*out_seg_names ||
+      !*out_seg_bounds)
+    return -3;
+  memcpy(*out_starts, starts.data(), sizeof(int64_t) * n);
+  memcpy(*out_ends, ends.data(), sizeof(int64_t) * n);
+  memcpy(*out_depths, depths.data(), sizeof(double) * n);
+  memcpy(*out_seg_names, seg_names.data(), seg_names.size());
+  memcpy(*out_seg_bounds, seg_bounds.data(), sizeof(int64_t) * (n_segs + 1));
+  *out_seg_names_len = (int64_t)seg_names.size();
+  *out_n_segs = n_segs;
+  *out_n = n;
+  return 0;
+} catch (...) {
+  return -3;
+}
+
+void grid_bed_free_grouped(char* seg_names, int64_t* seg_bounds) {
+  free(seg_names);
+  free(seg_bounds);
+}
+
 }  // extern "C"

@@ -257,3 +257,48 @@ def test_bgzf_scan_corrupt_inputs_degrade_gracefully(tmp_path):
     p2.write_bytes(blob[: len(blob) // 2])
     with pytest.raises(Exception):
         read_regions_bed_gz(p2, "chr1", 0, 10**9, {})
+
+
+def test_native_grouped_reader_matches_python(tmp_path):
+    """grid_bed_read_grouped must match the pure-Python grouped reader
+    segment-for-segment: normalized names, file-order runs (a chromosome
+    reappearing later opens a NEW segment), depth>0 filter, kb-bin mask,
+    junk lines skipped — in both containers."""
+    import gzip
+
+    import numpy as np
+
+    import grid_tpu.io.bed as bed
+    import grid_tpu.native.bedgz as nb
+    from grid_tpu.io.bamlite import bgzf_compress
+
+    _native_or_skip()
+    rng = np.random.default_rng(5)
+    lines = ["# header junk\n", "short\tline\n", "chr1\tnotint\t5\t1.0\n"]
+    for chrom in ("1", "chr2", "X", "chr2"):
+        base = 10_000 if chrom != "chr2" else 50_000
+        for i in range(500):
+            s = base + i * 1000
+            lines.append(f"{chrom}\t{s}\t{s + 1000}\t{rng.uniform(-1, 30):.2f}\n")
+    text = "".join(lines).encode()
+    excluded = {"chr1": {12, 13}, "chrX": {11}}
+
+    plain = tmp_path / "plain.bed.gz"
+    with gzip.open(plain, "wb") as f:
+        f.write(text)
+    blocked = tmp_path / "blocked.bed.gz"
+    blocked.write_bytes(bgzf_compress(text))
+
+    for path in (plain, blocked):
+        native = nb.read_regions_bed_gz_grouped(path, excluded)
+        real = nb.read_regions_bed_gz_grouped
+        nb.read_regions_bed_gz_grouped = None  # force the Python fallback
+        try:
+            py = bed.read_regions_bed_gz_grouped(path, excluded)
+        finally:
+            nb.read_regions_bed_gz_grouped = real
+        assert [s[0] for s in native] == [s[0] for s in py]
+        for (_, sn, en, dn), (_, sp, ep, dp) in zip(native, py):
+            np.testing.assert_array_equal(sn, sp)
+            np.testing.assert_array_equal(en, ep)
+            np.testing.assert_array_equal(dn, dp)
