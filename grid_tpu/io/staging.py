@@ -104,6 +104,8 @@ def _dedupe_last_wins(starts, ends, depths):
     keep = np.empty(len(keys), dtype=bool)
     keep[-1] = True
     keep[:-1] = keys[1:] != keys[:-1]
+    if keep.all():  # no duplicates (the common case): skip 3 array copies
+        return starts, ends, depths
     return starts[keep], ends[keep], depths[keep]
 
 
