@@ -28,6 +28,9 @@ def main():
     ap.add_argument("--file-type", choices=["bam", "cram"], default="bam",
                     help="cohort alignment format (cram exercises the"
                          " self-contained CRAM ingest end to end)")
+    ap.add_argument("--platform", default=None, choices=["cpu", "tpu"],
+                    help="force the device backend (cpu = deterministic"
+                         " host-only run, immune to tunnel variance)")
     args = ap.parse_args()
 
     import yaml
@@ -74,6 +77,12 @@ def main():
     cfg["compute_haploid_genotypes"]["ibs_output"] = None
     if args.fused:
         cfg.setdefault("device", {})["fused"] = True
+    if args.platform:
+        cfg.setdefault("device", {})["platform"] = args.platform
+        if args.platform == "cpu":
+            import jax
+
+            jax.config.update("jax_platforms", "cpu")
 
     t0 = time.perf_counter()
     run_wgs_pipeline(console=None, config=cfg)
@@ -81,6 +90,7 @@ def main():
 
     timings = json.loads((Path(cfg["output_dir"]) / "step_timings.json").read_text())
     report = {"n": args.n, "file_type": args.file_type,
+              "platform": args.platform or "default",
               "fused": bool(args.fused), "fabricate_s": round(t_fab, 1),
               "pipeline_total_s": round(t_total, 1),
               "steps_s": {k: round(v, 2) for k, v in timings.items()}}
