@@ -20,17 +20,10 @@ Design notes:
 
 from __future__ import annotations
 
-import gzip
 from pathlib import Path
 
+from grid_tpu.io.formats import open_maybe_gz
 from grid_tpu.utils.logging import log
-
-
-def _opener(path):
-    path = str(path)
-    if path.endswith(".gz"):
-        return gzip.open(path, "rt")
-    return open(path)
 
 
 def read_bed_regions(bed_file):
@@ -40,7 +33,7 @@ def read_bed_regions(bed_file):
     (standard BED headers); malformed lines raise with the line number.
     """
     regions = []
-    with _opener(bed_file) as f:
+    with open_maybe_gz(bed_file) as f:
         for lineno, line in enumerate(f, 1):
             line = line.strip()
             if not line or line.startswith(("#", "track", "browser")):
@@ -71,7 +64,7 @@ def iter_fasta_contigs(path):
     """Yield ``(name_first_token, sequence)`` per contig, streaming."""
     name = None
     chunks: list[str] = []
-    with _opener(path) as f:
+    with open_maybe_gz(path) as f:
         for line in f:
             line = line.strip()
             if not line:

@@ -39,17 +39,7 @@ def read_regions_bed_gz(path, chromosome=None, start=None, end=None, excluded=No
     win_start = int(start) if has_window else 0
     win_end = int(end) if has_window else 0
 
-    excluded = excluded or {}
-    names = b""
-    offsets = [0]
-    kb_all: list[int] = []
-    for chrom_name, kbs in excluded.items():
-        names += chrom_name.encode() + b"\0"
-        kb_all.extend(sorted(kbs))
-        offsets.append(len(kb_all))
-    n_mask = len(excluded)
-    offsets_arr = (c.c_int64 * len(offsets))(*offsets)
-    kb_arr = (c.c_int64 * max(len(kb_all), 1))(*(kb_all or [0]))
+    names, n_mask, offsets_arr, kb_arr = _mask_args(excluded)
 
     p_starts = c.POINTER(c.c_int64)()
     p_ends = c.POINTER(c.c_int64)()

@@ -204,6 +204,58 @@ int scan_bgzf(const char* path, F&& consume) {
   return 1;
 }
 
+
+// Drive `process_line(line, lim)` over every line of a bed.gz: the BGZF
+// fast path when the container is blocked, the generic gzread stream
+// otherwise; handles the cross-chunk carry. ONE implementation for both
+// readers (window + grouped) so the container/IO handling cannot drift.
+// Returns 0 ok, -1 open failure, -2 corrupt/IO error.
+template <class Line>
+int scan_bed_lines(const char* path, Line&& process_line) {
+  const size_t BUF = 1 << 20;
+  std::string carry;
+
+  auto consume = [&](const char* data, int64_t got) {
+    int64_t off = 0;
+    while (off < got) {
+      const char* nl = (const char*)memchr(data + off, '\n', got - off);
+      if (!nl) {
+        carry.append(data + off, got - off);
+        break;
+      }
+      if (!carry.empty()) {
+        carry.append(data + off, nl - (data + off));
+        process_line(carry.data(), carry.data() + carry.size());
+        carry.clear();
+      } else {
+        process_line(data + off, nl);
+      }
+      off = (nl - data) + 1;
+    }
+  };
+
+  int bg = scan_bgzf(path, consume);
+  if (bg < 0) return -2;
+  if (bg == 0) {
+    gzFile f = gzopen(path, "rb");
+    if (!f) return -1;
+    gzbuffer(f, 1 << 20);
+    std::vector<char> buf(BUF);
+    for (;;) {
+      int got = gzread(f, buf.data(), BUF);
+      if (got < 0) {
+        gzclose(f);
+        return -2;
+      }
+      if (got == 0) break;
+      consume(buf.data(), got);
+    }
+    gzclose(f);
+  }
+  if (!carry.empty()) process_line(carry.data(), carry.data() + carry.size());
+  return 0;
+}
+
 }  // namespace
 
 extern "C" {
@@ -238,10 +290,6 @@ try {
 
   std::vector<int64_t> starts, ends;
   std::vector<double> depths;
-
-  const size_t BUF = 1 << 20;
-  std::vector<char> buf(BUF);
-  std::string carry;
   const size_t flt_len = chrom_filter ? strlen(chrom_filter) : 0;
 
   auto process_line = [&](const char* line, const char* lim) {
@@ -292,47 +340,8 @@ try {
     depths.push_back(d);
   };
 
-  auto consume = [&](const char* data, int64_t got) {
-    int64_t off = 0;
-    while (off < got) {
-      const char* nl = (const char*)memchr(data + off, '\n', got - off);
-      if (!nl) {
-        carry.append(data + off, got - off);
-        break;
-      }
-      if (!carry.empty()) {
-        carry.append(data + off, nl - (data + off));
-        process_line(carry.data(), carry.data() + carry.size());
-        carry.clear();
-      } else {
-        process_line(data + off, nl);
-      }
-      off = (nl - data) + 1;
-    }
-  };
-
-  // BGZF fast path: mosdepth emits BGZF (as does grid_tpu's own bed
-  // writer) — independent <=64 KiB raw-deflate members that libdeflate
-  // decodes ~2x faster than zlib's streaming inflate. gzread stays as
-  // the generic-gzip fallback.
-  int bg = scan_bgzf(path, consume);
-  if (bg < 0) return -2;
-  if (bg == 0) {
-    gzFile f = gzopen(path, "rb");
-    if (!f) return -1;
-    gzbuffer(f, 1 << 20);
-    for (;;) {
-      int got = gzread(f, buf.data(), BUF);
-      if (got < 0) {
-        gzclose(f);
-        return -2;
-      }
-      if (got == 0) break;
-      consume(buf.data(), got);
-    }
-    gzclose(f);
-  }
-  if (!carry.empty()) process_line(carry.data(), carry.data() + carry.size());
+  int rc_scan = scan_bed_lines(path, process_line);
+  if (rc_scan != 0) return rc_scan;
 
   int64_t n = (int64_t)starts.size();
   *out_starts = (int64_t*)malloc(sizeof(int64_t) * (n ? n : 1));
@@ -396,10 +405,6 @@ try {
   std::string cur;                  // current segment's normalized chrom
   bool have_cur = false;
 
-  const size_t BUF = 1 << 20;
-  std::vector<char> buf(BUF);
-  std::string carry;
-
   auto process_line = [&](const char* line, const char* lim) {
     if (line >= lim) return;
     const char* p = line;
@@ -445,43 +450,8 @@ try {
     depths.push_back(d);
   };
 
-  auto consume = [&](const char* data, int64_t got) {
-    int64_t off = 0;
-    while (off < got) {
-      const char* nl = (const char*)memchr(data + off, '\n', got - off);
-      if (!nl) {
-        carry.append(data + off, got - off);
-        break;
-      }
-      if (!carry.empty()) {
-        carry.append(data + off, nl - (data + off));
-        process_line(carry.data(), carry.data() + carry.size());
-        carry.clear();
-      } else {
-        process_line(data + off, nl);
-      }
-      off = (nl - data) + 1;
-    }
-  };
-
-  int bg = scan_bgzf(path, consume);
-  if (bg < 0) return -2;
-  if (bg == 0) {
-    gzFile f = gzopen(path, "rb");
-    if (!f) return -1;
-    gzbuffer(f, 1 << 20);
-    for (;;) {
-      int got = gzread(f, buf.data(), BUF);
-      if (got < 0) {
-        gzclose(f);
-        return -2;
-      }
-      if (got == 0) break;
-      consume(buf.data(), got);
-    }
-    gzclose(f);
-  }
-  if (!carry.empty()) process_line(carry.data(), carry.data() + carry.size());
+  int rc_scan = scan_bed_lines(path, process_line);
+  if (rc_scan != 0) return rc_scan;
 
   int64_t n = (int64_t)starts.size();
   int64_t n_segs = (int64_t)seg_bounds.size();
